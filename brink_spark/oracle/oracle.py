@@ -1,0 +1,248 @@
+"""Deterministic single-threaded oracle: the brink crawl loop, wave-discretized.
+
+This is a faithful port of the reference's per-URL worker pipeline
+(brink.go:72-138) with the one change required for distributed
+reproducibility: the nondeterministic channel + 10-goroutine interleaving
+(crawler.go:32-34, brink.go:58-69) is replaced by BFS *waves* with a total
+within-wave order. This file defines the ordering contract the Spark engine
+must reproduce (SURVEY.md §3.4):
+
+- Wave 0 is the seed list (brink.go:33, ``linked_from='start'``).
+- Within a wave, frontier edges are first normalized (urls.go:111-155;
+  malformed dropped, brink.go:75-81), then split into *cached* edges (seen
+  url_norm → cached handler dispatch with the stored status and empty body,
+  brink.go:83-93) and *fetch units* (one per unseen distinct url_norm).
+- A unit's priority is the min of its edges' priorities; its first edge —
+  the one that "wins the fetch" and supplies linked_from + resolution base
+  (brink.go:117) — is the min edge by (priority, linked_from, url).
+- north_rule extensions gate units BEFORE fetch: robots deny
+  (longest-prefix match, deny on ties; absent host → allowed) drops the
+  unit without visiting; the per-host politeness budget admits the first
+  ``budget(host)`` units in (priority, url_norm) order and defers the rest
+  to the next wave (their edges carry over verbatim).
+- Eligible units are fetched in (priority, host, url_norm) order — the
+  crawl-order contract. Fetch outcomes mirror Fetch (brink.go:166-229):
+  ``miss`` (no such page ≈ transport error, brink.go:95-101),
+  ``not_allowed`` (domain gate; status discarded because the worker treats
+  the error as fatal, brink.go:95-101 + 212-215), ``too_large``
+  (brink.go:219-221), else ``ok``. Only ``ok`` units are recorded in
+  visited and dispatched to handlers — exactly like the reference, where
+  any Fetch error skips both the store and the handler.
+- Handler rows: the first edge dispatches cached=False with the page's
+  span array; every other same-unit edge dispatches cached=True with the
+  same status and no body (the serialized reference behavior: the second
+  worker finds the URL already visited).
+- Traversal (status==200 and not pathForbidden, brink.go:111): link spans
+  in document order; drop ``javascript:;`` and ``#``-prefixed hrefs on the
+  RAW href, then trim ASCII spaces (urls.go:96-101); resolve against the
+  first edge's ORIGINAL url (brink.go:117 — AbsoluteLinksIn(link.Href, ...);
+  a malformed base url means no links at all); drop empty resolved hrefs
+  (brink.go:125-128). New edges inherit the unit's priority.
+- Next frontier = deferred edges + new edges; stop on empty frontier
+  (the deterministic analogue of the idle-checker, brink.go:36-51).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import NamedTuple, Optional
+
+from brink_spark.config import CrawlConfig
+from brink_spark.functions.spans import Span, link_hrefs
+from brink_spark.functions.urls import (
+    domain_key,
+    normalize_url,
+    path_forbidden,
+    resolve_href,
+    scheme_and_host,
+    url_path,
+)
+from brink_spark.sources.sitegen import SiteFixture
+
+
+class Edge(NamedTuple):
+    linked_from: str
+    url: str
+    priority: int
+
+
+class HandlerRow(NamedTuple):
+    wave: int
+    linked_from: str
+    url_norm: str
+    status: int
+    cached: bool
+    n_spans: int  # -1 for body-less dispatches (cached / non-first edges)
+
+
+@dataclass
+class CrawlResult:
+    visited: dict[str, int] = field(default_factory=dict)  # url_norm → status
+    handler_rows: list[HandlerRow] = field(default_factory=list)
+    crawl_log: list[tuple[int, str]] = field(default_factory=list)  # (wave, url_norm) fetch order
+    spans_by_doc: dict[str, list[Span]] = field(default_factory=dict)
+    metrics: list[dict] = field(default_factory=list)
+    n_waves: int = 0
+
+
+def _robots_denied(robots_rules: dict[str, list[tuple[str, str]]], host: str, path: str) -> bool:
+    """Longest-prefix-match; deny wins ties; absent host → allowed."""
+    rules = robots_rules.get(host)
+    if not rules:
+        return False
+    best_len = -1
+    best_deny = False
+    for rule, prefix in rules:
+        if path.startswith(prefix):
+            l = len(prefix)
+            deny = rule == "deny"
+            if l > best_len or (l == best_len and deny):
+                best_len, best_deny = l, deny
+    return best_deny
+
+
+def crawl_oracle(fixture: SiteFixture, config: Optional[CrawlConfig] = None) -> CrawlResult:
+    config = config or fixture.config
+    pages = fixture.pages_by_key()
+    budgets = fixture.host_budgets()
+    robots_rules: dict[str, list[tuple[str, str]]] = {}
+    for r in fixture.robots:
+        robots_rules.setdefault(r["host"], []).append((r["rule"], r["path_prefix"]))
+
+    allowed_keys = set()
+    for d in config.allowed_domains:
+        dk = domain_key(d)
+        if dk is not None:
+            allowed_keys.add(dk)
+    # root domain auto-allowed (factory.go:54, brink.go:151-162)
+    root_key = domain_key(config.entrypoint)
+    if root_key is not None:
+        allowed_keys.add(root_key)
+
+    ignored = config.ignore_get_parameters
+    fuzzy = config.fuzzy_get_parameter_checks
+    max_cl = config.effective_max_content_length
+
+    res = CrawlResult()
+    frontier: list[Edge] = [Edge("start", s["url"], s["priority"]) for s in fixture.seeds]
+    wave = 0
+
+    while frontier and wave < config.max_waves:
+        m = dict(wave=wave, n_frontier=len(frontier), n_malformed=0, n_cached=0,
+                 n_units=0, n_robots_denied=0, n_deferred=0, n_fetched=0,
+                 n_miss=0, n_not_allowed=0, n_too_large=0, n_ok=0, n_new_links=0)
+
+        # 1. normalize + drop malformed (C7)
+        normed: list[tuple[Edge, str]] = []
+        for e in frontier:
+            un = normalize_url(e.url, ignored, fuzzy)
+            if un is None:
+                m["n_malformed"] += 1
+                continue
+            normed.append((e, un))
+
+        # 2. cached dispatches for already-visited url_norms (H2)
+        cached_rows: list[HandlerRow] = []
+        fresh: list[tuple[Edge, str]] = []
+        for e, un in normed:
+            if un in res.visited:
+                cached_rows.append(
+                    HandlerRow(wave, e.linked_from, un, res.visited[un], True, -1)
+                )
+                m["n_cached"] += 1
+            else:
+                fresh.append((e, un))
+
+        # 3. fetch units per distinct url_norm
+        units: dict[str, list[Edge]] = {}
+        for e, un in fresh:
+            units.setdefault(un, []).append(e)
+        m["n_units"] = len(units)
+
+        unit_list = []
+        for un, edges in units.items():
+            edges_sorted = sorted(edges, key=lambda e: (e.priority, e.linked_from, e.url))
+            prio = min(e.priority for e in edges)
+            sh = scheme_and_host(un)
+            host = sh[1] if sh else ""
+            unit_list.append((prio, host, un, edges_sorted))
+
+        # 4. robots gate (north_rule extension; pre-fetch)
+        admitted = []
+        for prio, host, un, edges in unit_list:
+            p = url_path(un) or ""
+            if _robots_denied(robots_rules, host, p):
+                m["n_robots_denied"] += 1
+                continue
+            admitted.append((prio, host, un, edges))
+
+        # 5. politeness budget per host (north_rule extension)
+        admitted.sort(key=lambda t: (t[0], t[2]))  # (priority, url_norm) within host
+        taken: dict[str, int] = {}
+        eligible, deferred_edges = [], []
+        for prio, host, un, edges in admitted:
+            budget = budgets.get(host, config.politeness_budget)
+            if taken.get(host, 0) < budget:
+                taken[host] = taken.get(host, 0) + 1
+                eligible.append((prio, host, un, edges))
+            else:
+                deferred_edges.extend(edges)
+                m["n_deferred"] += 1
+
+        # 6. fetch in crawl order (the ordering contract)
+        eligible.sort(key=lambda t: (t[0], t[1], t[2]))
+        new_edges: list[Edge] = []
+        for prio, host, un, edges in eligible:
+            m["n_fetched"] += 1
+            res.crawl_log.append((wave, un))
+            first = edges[0]
+            page = pages.get(un)
+            if page is None:
+                m["n_miss"] += 1
+                continue
+            dk = domain_key(un)
+            if dk not in allowed_keys:
+                m["n_not_allowed"] += 1
+                continue
+            if page.content_length > max_cl:
+                m["n_too_large"] += 1
+                continue
+            m["n_ok"] += 1
+            res.visited[un] = page.status
+            res.handler_rows.append(
+                HandlerRow(wave, first.linked_from, un, page.status, False, len(page.spans))
+            )
+            res.spans_by_doc[un] = page.spans
+            for other in edges[1:]:
+                res.handler_rows.append(
+                    HandlerRow(wave, other.linked_from, un, page.status, True, -1)
+                )
+
+            # traversal gate (C4 ∧ ¬C3, brink.go:111)
+            if page.status != 200 or path_forbidden(un, config.forbidden_paths):
+                continue
+            base = scheme_and_host(first.url)
+            if base is None:  # AbsoluteLinksIn error → no links (brink.go:117-122)
+                continue
+            bscheme, bhost = base
+            for raw in link_hrefs(page.spans):
+                if raw == "javascript:;" or raw.startswith("#"):
+                    continue
+                href = raw.strip(" ")
+                resolved = resolve_href(href, bscheme, bhost)
+                if resolved == "":
+                    continue
+                new_edges.append(Edge(first.url, resolved, prio))
+                m["n_new_links"] += 1
+
+        res.handler_rows.extend(cached_rows)
+        res.metrics.append(m)
+        frontier = deferred_edges + new_edges
+        wave += 1
+
+    res.n_waves = wave
+    # canonical handler-row order: the cross-engine comparison key
+    res.handler_rows.sort(
+        key=lambda r: (r.wave, r.url_norm, r.cached, r.linked_from)
+    )
+    return res

@@ -1,0 +1,51 @@
+"""SparkSession factory for the crawl engine.
+
+Arrow-enabled (every UDF in this engine is a vectorized pandas UDF —
+input_hint mandates no per-row Python), AQE on (skew-join splitting +
+runtime coalescing), small broadcast threshold kept at default so config
+tables broadcast automatically.
+
+In the sandbox the table store is parquet-backed (brink_spark.storage);
+on a real cluster the same session would add the Iceberg catalog configs
+(commented template below) and the store's writes map 1:1 to Iceberg
+appends/snapshots.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Production (cluster) template — requires the iceberg-spark-runtime jar,
+# which is not baked into this sandbox:
+#   .config("spark.sql.extensions",
+#           "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions")
+#   .config("spark.sql.catalog.crawl", "org.apache.iceberg.spark.SparkCatalog")
+#   .config("spark.sql.catalog.crawl.type", "hadoop")
+#   .config("spark.sql.catalog.crawl.warehouse", <warehouse-uri>)
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "brink_spark",
+    shuffle_partitions: int = 32,
+    extra: dict[str, str] | None = None,
+) -> SparkSession:
+    master = master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+    )
+    for k, v in (extra or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,316 @@
+"""Deterministic synthetic web generator (FIXTURES.md §1-§5).
+
+Builds the sandbox fetch-join target: a ``pages`` table (one row per
+fetchable URL, keyed by its normalized form), ``seeds``, ``robots`` rules,
+and a CrawlConfig. Everything derives from ``random.Random(seed)`` — no
+external data. The link mix deliberately exercises every reference filter:
+relative / absolute / scheme-relative / fragment-bearing / padded /
+``javascript:;`` / ``#anchor`` / empty hrefs (urls.go:47-106), shuffled GET
+params (urls.go:111-155), ignored params, forbidden paths (urls.go:166-175),
+disallowed domains (brink.go:212-215), oversized bodies (brink.go:219-221)
+and dead links (fetch miss).
+
+Scales: ``tiny`` (~200 pages; unit/e2e), ``small`` (~5k; correctness),
+``bench`` (~200k + hot-host skew; throughput). The hot host holds ~30% of
+all pages — the skew fixture the salted politeness/fetch path must survive.
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+
+from brink_spark.config import CrawlConfig
+from brink_spark.functions.spans import Span, render_html
+from brink_spark.functions.urls import normalize_url
+
+_WORDS = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima "
+    "mike november oscar papa quebec romeo sierra tango uniform victor whiskey "
+    "xray yankee zulu amber basalt cedar dune ember fjord grove harbor inlet"
+).split()
+
+_PARAM_NAMES = ("id", "page", "redirect", "_tok", "something", "q", "ref")
+
+_SCALES = {
+    "tiny": dict(n_pages=200, n_hosts=6, hot_budget=5, cold_budget=50),
+    "small": dict(n_pages=5000, n_hosts=20, hot_budget=40, cold_budget=800),
+    "bench": dict(n_pages=200_000, n_hosts=50, hot_budget=4000, cold_budget=20000),
+}
+
+
+@dataclass
+class Page:
+    url_norm: str  # join key: the normalized (post-ignore) URL the fetch resolves
+    url: str  # canonical display URL (params in generated order)
+    host: str
+    scheme: str
+    status: int
+    content_length: int
+    body: str
+    spans: list[Span] = field(default_factory=list)
+
+
+@dataclass
+class SiteFixture:
+    scale: str
+    seed: int
+    pages: list[Page]
+    seeds: list[dict]  # {url, priority}
+    robots: list[dict]  # {host, rule, path_prefix, crawl_delay_budget}
+    config: CrawlConfig
+
+    def pages_by_key(self) -> dict[str, Page]:
+        return {p.url_norm: p for p in self.pages}
+
+    def host_budgets(self) -> dict[str, int]:
+        out: dict[str, int] = {}
+        for r in self.robots:
+            out[r["host"]] = r["crawl_delay_budget"]
+        return out
+
+
+def _make_status(rng: random.Random) -> int:
+    x = rng.random()
+    if x < 0.90:
+        return 200
+    if x < 0.95:
+        return 404
+    if x < 0.98:
+        return 301
+    return 500
+
+
+def _make_content_length(rng: random.Random) -> int:
+    # lognormal tuned so ~2% exceed 512 KiB (FIXTURES.md §1)
+    return int(rng.lognormvariate(10.5, 1.3)) + 64
+
+
+def _href_variant(rng: random.Random, target: "Page", from_host: str) -> str:
+    """Render a link to `target` in one of the messy forms the reference
+    must canonicalize (urls_test.go:102-114 forms + resolution cases)."""
+    u = target.url
+    x = rng.random()
+    if x < 0.45:
+        return u
+    if x < 0.60 and "?" in u:
+        base, q = u.split("?", 1)
+        params = q.split("&")
+        rng.shuffle(params)
+        return f"{base}?{'&'.join(params)}"
+    if x < 0.80 and target.host == from_host:
+        return u.split(target.host, 1)[1]  # "/path?..." relative form
+    if x < 0.87:
+        return f" {u} "  # padded; trimmed at link extraction (urls.go:101)
+    if x < 0.92:
+        return f"{u}#sec{rng.randrange(4)}"  # fragment → distinct url_norm → miss
+    if x < 0.96:
+        return "//" + u.split("://", 1)[1]  # scheme-relative quirk path
+    return u
+
+
+_SPECIAL_HREFS = ("javascript:;", "#top", "", " ", "mailto:x@example.org")
+
+
+def generate_site(scale: str = "tiny", seed: int = 42) -> SiteFixture:
+    params = _SCALES[scale]
+    rng = random.Random(seed)
+    n_pages, n_hosts = params["n_pages"], params["n_hosts"]
+
+    hosts = [f"site{i}.example" for i in range(n_hosts)] + ["hot.example"]
+    schemes = {h: rng.choice(("http", "https")) for h in hosts}
+    # two disallowed hosts (C1 gate): fetched for status, never traversed
+    disallowed = {f"site{n_hosts-1}.example", f"site{n_hosts-2}.example"}
+    ignored_params = ("_tok", "ref")
+    fuzzy = True
+    forbidden_paths = ("/forbidden",)
+
+    # --- page URLs -----------------------------------------------------
+    pages: list[Page] = []
+    seen_keys: set[str] = set()
+    for i in range(n_pages):
+        host = "hot.example" if rng.random() < 0.30 else rng.choice(hosts[:-1])
+        scheme = schemes[host]
+        nseg = rng.randint(1, 3)
+        segs = [rng.choice(_WORDS) for _ in range(nseg - 1)] + [f"p{i}"]
+        if rng.random() < 0.04:
+            segs.insert(0, "forbidden")
+        if rng.random() < 0.05:
+            # robots-deny target; ~30% land under the allow-exception prefix
+            if rng.random() < 0.3:
+                segs[0:0] = ["private", "pub"]
+            else:
+                segs.insert(0, "private")
+        path = "/" + "/".join(segs)
+        url = f"{scheme}://{host}{path}"
+        if rng.random() < 0.20:
+            names = rng.sample(_PARAM_NAMES, rng.randint(1, 3))
+            q = "&".join(
+                n if rng.random() < 0.2 else f"{n}={rng.randrange(100)}" for n in names
+            )
+            url = f"{url}?{q}"
+        key = normalize_url(url, ignored_params, fuzzy)
+        assert key is not None
+        if key in seen_keys:
+            continue
+        seen_keys.add(key)
+        pages.append(
+            Page(
+                url_norm=key,
+                url=url,
+                host=host,
+                scheme=scheme,
+                status=_make_status(rng),
+                content_length=_make_content_length(rng),
+                body="",
+            )
+        )
+
+    # --- spans (interleaved text + media + links) ----------------------
+    n = len(pages)
+    for p in pages:
+        spans_raw: list[tuple[str, str | None, str | None]] = []
+        for _ in range(rng.randint(1, 4)):
+            nw = rng.randint(4, 14)
+            spans_raw.append(
+                ("text", " ".join(rng.choice(_WORDS) for _ in range(nw)), None)
+            )
+        for j in range(rng.randint(0, 3)):
+            spans_raw.append(
+                ("media", None, f"img://{p.host}/m{rng.randrange(10**6)}.png")
+            )
+        out_degree = min(40, 1 + int(rng.paretovariate(1.2)))
+        for _ in range(out_degree):
+            x = rng.random()
+            if x < 0.78:
+                target = pages[rng.randrange(n)]
+                href = _href_variant(rng, target, p.host)
+            elif x < 0.88:
+                # dead link: well-formed URL with no page row (fetch miss)
+                href = f"{p.scheme}://{p.host}/missing/m{rng.randrange(10**9)}"
+            else:
+                href = rng.choice(_SPECIAL_HREFS)
+            spans_raw.append(("link", href, None))
+        rng.shuffle(spans_raw)
+        offset = 0
+        spans: list[Span] = []
+        for kind, text, media_ref in spans_raw:
+            s = Span(kind, text, media_ref, offset)
+            spans.append(s)
+            offset += s.content_len()
+        p.spans = spans
+        p.body = render_html(spans)
+
+    # --- robots (rules + per-host politeness budgets) -------------------
+    robots: list[dict] = []
+    for host in hosts:
+        budget = params["hot_budget"] if host == "hot.example" else params["cold_budget"]
+        robots.append(
+            dict(host=host, rule="deny", path_prefix="/private", crawl_delay_budget=budget)
+        )
+        if rng.random() < 0.5:
+            # allow-exception under a deny (longest-prefix-match, deny on tie)
+            robots.append(
+                dict(host=host, rule="allow", path_prefix="/private/pub", crawl_delay_budget=budget)
+            )
+
+    # --- config + seeds --------------------------------------------------
+    root_host = "site0.example"
+    root_pages = [p for p in pages if p.host == root_host and p.status == 200]
+    entry = root_pages[0].url if root_pages else pages[0].url
+    allowed = tuple(
+        f"{schemes[h]}://{h}" for h in hosts if h not in disallowed
+    )
+    config = CrawlConfig(
+        entrypoint=entry,
+        allowed_domains=allowed,
+        ignore_get_parameters=ignored_params,
+        fuzzy_get_parameter_checks=fuzzy,
+        forbidden_paths=forbidden_paths,
+        max_content_length=0,  # → 512 KiB default (factory.go:164-173)
+    )
+    seeds = [dict(url=entry, priority=0)]
+    hot_200 = [p for p in pages if p.host == "hot.example" and p.status == 200]
+    if hot_200:
+        seeds.append(dict(url=hot_200[0].url, priority=1))
+    if len(root_pages) > 1:
+        seeds.append(dict(url=root_pages[1].url, priority=2))
+
+    return SiteFixture(
+        scale=scale, seed=seed, pages=pages, seeds=seeds, robots=robots, config=config
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark materialization
+
+
+def pages_to_spark(spark, fixture: SiteFixture):
+    """pages DataFrame: the sandbox fetch-join target (SURVEY.md A1/H4)."""
+    import pandas as pd
+
+    from brink_spark.functions.spans import SPANS_TYPE
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("url_norm", StringType()),
+            StructField("url", StringType()),
+            StructField("host", StringType()),
+            StructField("scheme", StringType()),
+            StructField("status", IntegerType()),
+            StructField("content_length", LongType()),
+            StructField("body", StringType()),
+            StructField("spans", SPANS_TYPE),
+        ]
+    )
+    rows = pd.DataFrame(
+        {
+            "url_norm": [p.url_norm for p in fixture.pages],
+            "url": [p.url for p in fixture.pages],
+            "host": [p.host for p in fixture.pages],
+            "scheme": [p.scheme for p in fixture.pages],
+            "status": [p.status for p in fixture.pages],
+            "content_length": [p.content_length for p in fixture.pages],
+            "body": [p.body for p in fixture.pages],
+            "spans": [[tuple(s) for s in p.spans] for p in fixture.pages],
+        }
+    )
+    return spark.createDataFrame(rows, schema=schema)
+
+
+def seeds_to_spark(spark, fixture: SiteFixture):
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("url", StringType()), StructField("priority", IntegerType())]
+    )
+    return spark.createDataFrame(
+        [(s["url"], s["priority"]) for s in fixture.seeds], schema=schema
+    )
+
+
+def robots_to_spark(spark, fixture: SiteFixture):
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("host", StringType()),
+            StructField("rule", StringType()),
+            StructField("path_prefix", StringType()),
+            StructField("crawl_delay_budget", IntegerType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [
+            (r["host"], r["rule"], r["path_prefix"], r["crawl_delay_budget"])
+            for r in fixture.robots
+        ],
+        schema=schema,
+    )
