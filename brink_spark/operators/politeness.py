@@ -1,0 +1,76 @@
+"""Per-host politeness budget + priority ordering (north_rule extensions).
+
+The reference's only throttle is a global worker count (factory.go:16);
+the north_rule mandates a per-host budget per wave with deferral, a
+priority queue, and explicit skew handling for hot hosts.
+
+Semantics (contract shared with the oracle, brink_spark/oracle/oracle.py):
+within each host, fetch units are ordered by ``(priority, url_norm)`` and
+the first ``budget(host)`` are eligible this wave; the rest defer to the
+next wave with their edges intact.
+
+Physical plan: an exact *two-phase top-k*. A plain
+``Window.partitionBy(host)`` would put a hot host's entire frontier slice
+in one task (hot.example holds ~30% of the fixture); instead:
+
+  phase 1: window over ``(host, salt)`` where ``salt = pmod(xxhash64(
+           url_norm), S)`` — keeps at most ``budget`` rows per salt group,
+           bounding any task at ~1/S of the hot host's rows;
+  phase 2: window over ``host`` on the ≤ S·budget survivors — exact global
+           top-k per host.
+
+Phase 1 can only *over*-admit (each salt group keeps a superset of what
+the global top-k needs from it), so phase 2's result equals the
+single-window plan — verified against the oracle in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def budget_per_host(robots: DataFrame | None, default_budget: int) -> DataFrame | None:
+    """host → crawl_delay_budget (max over that host's robots rows)."""
+    if robots is None:
+        return None
+    return robots.groupBy("host").agg(
+        F.max("crawl_delay_budget").alias("_budget")
+    )
+
+
+def apply_politeness(
+    units: DataFrame,
+    budgets: DataFrame | None,
+    default_budget: int,
+    num_salts: int = 8,
+) -> DataFrame:
+    """Tag fetch units with ``_eligible`` (bool). ``units`` must carry
+    ``host``, ``unit_priority``, ``url_norm``; one row per url_norm."""
+    if budgets is not None:
+        units = units.join(F.broadcast(budgets), "host", "left")
+        units = units.withColumn(
+            "_budget", F.coalesce("_budget", F.lit(default_budget))
+        )
+    else:
+        units = units.withColumn("_budget", F.lit(default_budget))
+
+    salt = F.pmod(F.xxhash64("url_norm"), F.lit(num_salts)).cast("int")
+    w1 = Window.partitionBy("host", salt).orderBy("unit_priority", "url_norm")
+    units = units.withColumn("_rn1", F.row_number().over(w1))
+
+    # Beyond-budget within a single salt group ⇒ beyond-budget globally for
+    # the host (each salt group over-admits), so these rows are deferred
+    # without entering the host-wide window — that window only ever sees
+    # ≤ S·budget rows per host, the skew bound.
+    candidates = units.filter(F.col("_rn1") <= F.col("_budget")).drop("_rn1")
+    rejected = (
+        units.filter(F.col("_rn1") > F.col("_budget"))
+        .drop("_rn1", "_budget")
+        .withColumn("_eligible", F.lit(False))
+    )
+
+    w2 = Window.partitionBy("host").orderBy("unit_priority", "url_norm")
+    ranked = candidates.withColumn(
+        "_eligible", F.row_number().over(w2) <= F.col("_budget")
+    ).drop("_budget")
+    return ranked.unionByName(rejected)

@@ -1,0 +1,502 @@
+"""The wave-iterative crawl plan: brink's worker pipeline as DataFrame jobs.
+
+One wave = one pass of the per-URL worker pipeline (brink.go:72-138) over
+the whole frontier, expressed relationally (SURVEY.md §3.4):
+
+    normalize (B1, pandas UDF) → malformed drop (C7)
+    → seen-set split: Bloom prefilter + exact anti/inner join (E1/H1/H2)
+    → fetch units (first edge wins the fetch; min-struct over edges)
+    → robots gate (extension) → per-host politeness top-k (extension)
+    → fetch = equi-join vs pages (A1/H4) + domain/content gates (C1/C2)
+    → visited append + Bloom insert
+    → handler rows (A4): first edge cached=false with parsed spans (D1),
+      other edges + previously-seen edges cached=true, empty body
+    → traversal gate (C4 ∧ ¬C3) → link spans → C5/C6 + trim → resolve (D2)
+    → next frontier = deferred ∪ new edges
+
+State lives in the CrawlStore (parquet snapshots; Iceberg-shaped): every
+wave's outputs are written then re-read, which both cuts the iterative
+lineage (the classic loop trap, SURVEY.md §4.2) and makes the loop
+checkpoint-resumable: crash mid-wave → the manifest still names the last
+committed wave and the wave is recomputed idempotently.
+
+Scale notes (the 10^10 design point):
+- all heavy joins key on ``url_norm`` — uniform hash distribution, so the
+  hot-host skew never concentrates a join partition;
+- the only host-keyed operation is the politeness window, which is
+  salted two-phase top-k (operators/politeness.py);
+- the parse stage is explicitly repartitioned by a salted host hash
+  (``pmod(xxhash64(host, url_norm), P)``) — in production this stage is
+  the ``mapInPandas`` HTTP fetch, and the salt keeps one mega-host from
+  serializing a wave while still co-locating mostly-same-host batches for
+  connection reuse;
+- visited is append-only with periodic compaction; the Bloom prefilter
+  keeps the anti-join's build side tiny regardless of |visited|.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from contextlib import contextmanager
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from brink_spark.config import CrawlConfig
+from brink_spark.functions.spans import SPANS_TYPE
+from brink_spark.functions.udfs import make_normalize_udf, parse_spans_udf
+from brink_spark.operators.filters import (
+    allowed_domain_keys,
+    domain_allowed,
+    path_forbidden_expr,
+    robots_rules_per_host,
+    with_robots_denied,
+)
+from brink_spark.operators.politeness import apply_politeness, budget_per_host
+from brink_spark.operators.seen import BloomSeenSet, split_seen
+from brink_spark.storage import CrawlStore, Manifest
+
+FRONTIER_SCHEMA = StructType(
+    [
+        StructField("linked_from", StringType()),
+        StructField("url", StringType()),
+        StructField("priority", IntegerType()),
+    ]
+)
+
+METRICS_SCHEMA = StructType(
+    [
+        StructField("wave", IntegerType()),
+        StructField("key", StringType()),
+        StructField("value", LongType()),
+    ]
+)
+
+
+@dataclass
+class CrawlSummary:
+    waves: int = 0
+    total_fetched: int = 0
+    total_ok: int = 0
+    total_cached: int = 0
+    total_deferred: int = 0
+    total_new_links: int = 0
+    wall_seconds: float = 0.0
+    wave_metrics: list[dict] = field(default_factory=list)
+
+    def summary(self) -> str:
+        return (
+            f"waves={self.waves} fetched={self.total_fetched} ok={self.total_ok} "
+            f"cached={self.total_cached} deferred={self.total_deferred} "
+            f"links={self.total_new_links} wall={self.wall_seconds:.1f}s"
+        )
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: CrawlConfig,
+        store_dir: str,
+        pages: DataFrame | None = None,
+        robots: DataFrame | None = None,
+    ):
+        self.spark = spark
+        self.config = config
+        self.store = CrawlStore(store_dir)
+        self.pages = pages
+        self.robots = robots
+        self.allowed_keys = allowed_domain_keys(config)
+        self.norm_udf = make_normalize_udf(
+            config.ignore_get_parameters, config.fuzzy_get_parameter_checks
+        )
+        self.bloom = (
+            BloomSeenSet(config.bloom_shards, config.bloom_bits_per_shard, config.bloom_num_hashes)
+            if config.use_bloom
+            else None
+        )
+        self._rules = robots_rules_per_host(robots) if robots is not None else None
+        self._budgets = budget_per_host(robots, config.politeness_budget)
+
+    # ------------------------------------------------------------------
+    def seed_frontier(self, seeds: DataFrame) -> None:
+        """A3: seed injection with the literal linked_from='start' sentinel
+        (brink.go:33)."""
+        frontier0 = seeds.select(
+            F.lit("start").alias("linked_from"),
+            F.col("url"),
+            F.col("priority").cast("int").alias("priority"),
+        )
+        self.store.write(frontier0, "frontier", 0)
+
+    def run(
+        self,
+        fixture=None,
+        seeds: DataFrame | None = None,
+        resume: bool = False,
+        max_waves: int | None = None,
+    ) -> CrawlSummary:
+        from brink_spark.sources.sitegen import (
+            pages_to_spark,
+            robots_to_spark,
+            seeds_to_spark,
+        )
+
+        if fixture is not None:
+            if self.pages is None:
+                self.pages = pages_to_spark(self.spark, fixture)
+            if self.robots is None:
+                self.robots = robots_to_spark(self.spark, fixture)
+                self._rules = robots_rules_per_host(self.robots)
+                self._budgets = budget_per_host(self.robots, self.config.politeness_budget)
+            if seeds is None and not resume:
+                seeds = seeds_to_spark(self.spark, fixture)
+
+        max_waves = max_waves if max_waves is not None else self.config.max_waves
+        summary = CrawlSummary()
+        t0 = time.time()
+
+        manifest = self.store.read_manifest() if resume else None
+        if manifest is None:
+            self.store.destroy()
+            self.store = CrawlStore(self.store.root)
+            if seeds is None:
+                raise ValueError("fresh run requires seeds")
+            self.seed_frontier(seeds)
+            manifest = Manifest()
+            wave = 0
+        else:
+            wave = manifest.last_wave + 1
+            self.store.clean_uncommitted(manifest.last_wave)
+
+        pages_slim = self.pages.select(
+            "url_norm",
+            F.col("status").alias("page_status"),
+            "content_length",
+            "body",
+        )
+
+        while wave < max_waves:
+            m = self._run_wave(wave, manifest, pages_slim)
+            if m is None:  # empty frontier → graceful stop (F2 analogue)
+                break
+            manifest.last_wave = wave
+            self.store.commit(manifest)
+            summary.wave_metrics.append(m)
+            summary.total_fetched += m["n_fetched"]
+            summary.total_ok += m["n_ok"]
+            summary.total_cached += m["n_cached"]
+            summary.total_deferred += m["n_deferred"]
+            summary.total_new_links += m["n_new_links"]
+            if (
+                self.config.compact_visited_every > 0
+                and (wave + 1) % self.config.compact_visited_every == 0
+            ):
+                self.store.compact_visited(self.spark, manifest)
+            wave += 1
+
+        manifest.done = True
+        self.store.commit(manifest)
+        summary.waves = wave
+        summary.wall_seconds = time.time() - t0
+        return summary
+
+    @contextmanager
+    def _phase(self, name: str):
+        if os.environ.get("BRINK_TIMING"):
+            t0 = time.time()
+            yield
+            print(f"    [{name}] {time.time()-t0:.2f}s", flush=True)
+        else:
+            yield
+
+    # ------------------------------------------------------------------
+    def _run_wave(self, wave: int, manifest: Manifest, pages_slim: DataFrame):
+        spark, store, cfg = self.spark, self.store, self.config
+        frontier = store.read(spark, "frontier", wave)
+        m = dict(wave=wave)
+
+        norm = frontier.withColumn("_p", self.norm_udf("url")).select(
+            "linked_from",
+            "url",
+            "priority",
+            F.col("_p.url_norm").alias("url_norm"),
+            F.col("_p.scheme").alias("scheme"),
+            F.col("_p.host").alias("host"),
+            F.col("_p.path").alias("path"),
+            F.col("_p.base_scheme").alias("base_scheme"),
+            F.col("_p.base_host").alias("base_host"),
+        )
+        norm.persist()
+        with self._phase("norm+count"):
+            null_counts = {
+                bool(r["_bad"]): r["count"]
+                for r in norm.groupBy(F.col("url_norm").isNull().alias("_bad"))
+                .count()
+                .collect()
+        }
+        m["n_frontier"] = sum(null_counts.values())
+        m["n_malformed"] = null_counts.get(True, 0)
+        if m["n_frontier"] == 0:
+            norm.unpersist()
+            return None
+        edges = norm.filter(F.col("url_norm").isNotNull())
+
+        # --- seen-set split (Bloom prefilter + exact joins) -------------
+        visited = store.read_visited(spark, manifest)
+        bloom_shards = (
+            store.read(spark, "bloom", manifest.last_wave)
+            if self.bloom is not None and manifest.last_wave >= 0
+            else (self.bloom.empty(spark) if self.bloom is not None else None)
+        )
+        fresh, cached = split_seen(edges, visited, self.bloom, bloom_shards)
+
+        cached_rows = cached.select(
+            F.lit(wave).alias("wave"),
+            "linked_from",
+            "url_norm",
+            F.col("status").cast("int").alias("status"),
+            F.lit(True).alias("cached"),
+            F.lit("seen").alias("row_kind"),
+            F.lit(None).cast(SPANS_TYPE).alias("spans"),
+        )
+
+        # --- fetch units: first edge wins (serialized-reference order) --
+        we = Window.partitionBy("url_norm").orderBy("priority", "linked_from", "url")
+        wu = Window.partitionBy("url_norm")
+        fresh = fresh.withColumn("_edge_rank", F.row_number().over(we)).withColumn(
+            "unit_priority", F.min("priority").over(wu)
+        )
+        fresh.persist()
+
+        units = fresh.filter(F.col("_edge_rank") == 1)
+        units = with_robots_denied(units, self._rules)
+        units.persist()
+
+        polite = apply_politeness(
+            units.filter(~F.col("_robots_denied")),
+            self._budgets,
+            cfg.politeness_budget,
+            cfg.politeness_salts,
+        )
+        polite.persist()
+        eligible = polite.filter(F.col("_eligible")).drop("_eligible", "_robots_denied")
+        deferred_units = polite.filter(~F.col("_eligible"))
+        deferred_edges = fresh.join(
+            deferred_units.select("url_norm"), "url_norm", "left_semi"
+        ).select("linked_from", "url", "priority")
+
+        # --- fetch (A1/H4) + gates (C1/C2) -------------------------------
+        fetched = eligible.join(pages_slim, "url_norm", "left")
+        fetched = fetched.withColumn(
+            "outcome",
+            F.when(F.col("page_status").isNull(), "miss")
+            .when(
+                ~domain_allowed(F.col("scheme"), F.col("host"), self.allowed_keys),
+                "not_allowed",
+            )
+            .when(
+                F.col("content_length") > cfg.effective_max_content_length,
+                "too_large",
+            )
+            .otherwise("ok"),
+        )
+        # host-hash salted repartition for the parse/fetch stage (G2):
+        # in production this stage is the mapInPandas HTTP fetch; the salt
+        # bounds any one host's share of a task without breaking batching.
+        fetched = fetched.repartition(
+            F.pmod(F.xxhash64("host", "url_norm"), F.lit(64)).cast("int")
+        )
+        fetched.persist()
+
+        # fetch attempt log — the crawl-ordering contract surface; carries
+        # the physical partition id for per-partition lineage (A5/north_rule).
+        # robots-denied and deferred units ride along with their own outcome
+        # values so ONE read-back yields every unit-level counter of the wave.
+        log_cols = lambda df, outcome_col, pid_col: df.select(  # noqa: E731
+            F.lit(wave).alias("wave"),
+            "url_norm",
+            F.col("unit_priority").alias("priority"),
+            "host",
+            outcome_col.alias("outcome"),
+            pid_col.alias("partition_id"),
+        )
+        with self._phase("fetch+log-write"):
+            store.write(
+                log_cols(fetched, F.col("outcome"), F.spark_partition_id())
+                .unionByName(
+                    log_cols(
+                        units.filter(F.col("_robots_denied")),
+                        F.lit("robots_denied"),
+                        F.lit(-1),
+                    )
+                )
+                .unionByName(
+                    log_cols(deferred_units, F.lit("deferred"), F.lit(-1))
+                ),
+                "fetchlog",
+                wave,
+            )
+        # counters + lineage in one pass over the (tiny) written log
+        lineage: dict[int, int] = {}
+        outcome_counts: dict[str, int] = {}
+        with self._phase("log-readback"):
+            for r in (
+                store.read(spark, "fetchlog", wave)
+                .groupBy("outcome", "partition_id")
+                .count()
+                .collect()
+            ):
+                outcome_counts[r["outcome"]] = outcome_counts.get(r["outcome"], 0) + r["count"]
+                if r["partition_id"] >= 0:
+                    lineage[r["partition_id"]] = lineage.get(r["partition_id"], 0) + r["count"]
+        m["n_robots_denied"] = outcome_counts.pop("robots_denied", 0)
+        m["n_deferred"] = outcome_counts.pop("deferred", 0)
+        m["n_fetched"] = sum(outcome_counts.values())
+        m["n_units"] = m["n_fetched"] + m["n_robots_denied"] + m["n_deferred"]
+        m["n_miss"] = outcome_counts.get("miss", 0)
+        m["n_not_allowed"] = outcome_counts.get("not_allowed", 0)
+        m["n_too_large"] = outcome_counts.get("too_large", 0)
+        m["n_ok"] = outcome_counts.get("ok", 0)
+
+        ok = (
+            fetched.filter(F.col("outcome") == "ok")
+            .withColumn("spans", parse_spans_udf("body"))
+            .drop("body")
+        )
+        ok.persist()
+
+        # --- visited append + Bloom insert -------------------------------
+        visited_new = ok.select(
+            "url_norm",
+            F.col("page_status").cast("int").alias("status"),
+            F.lit(wave).alias("wave"),
+        )
+        with self._phase("visited-write"):
+            store.write(visited_new, "visited", wave)
+        with self._phase("bloom-update"):
+            if self.bloom is not None:
+                new_shards = self.bloom.updated(
+                    store.read(spark, "visited", wave), bloom_shards
+                )
+                store.write(new_shards, "bloom", wave)
+
+        # --- handler rows (A4) -------------------------------------------
+        results_first = ok.select(
+            F.lit(wave).alias("wave"),
+            "linked_from",
+            "url_norm",
+            F.col("page_status").cast("int").alias("status"),
+            F.lit(False).alias("cached"),
+            F.lit("fetched").alias("row_kind"),
+            "spans",
+        )
+        results_others = (
+            fresh.filter(F.col("_edge_rank") > 1)
+            .join(ok.select("url_norm", "page_status"), "url_norm", "inner")
+            .select(
+                F.lit(wave).alias("wave"),
+                "linked_from",
+                "url_norm",
+                F.col("page_status").cast("int").alias("status"),
+                F.lit(True).alias("cached"),
+                F.lit("dup_edge").alias("row_kind"),
+                F.lit(None).cast(SPANS_TYPE).alias("spans"),
+            )
+        )
+        with self._phase("results-write"):
+            store.write(
+                results_first.unionByName(results_others).unionByName(cached_rows),
+                "results",
+                wave,
+        )
+
+        # --- traversal → next frontier (D1/D2/C3/C4/C5/C6) ----------------
+        trav = ok.filter(
+            (F.col("page_status") == 200)
+            & ~path_forbidden_expr(F.col("path"), cfg.forbidden_paths)
+            & F.col("base_scheme").isNotNull()
+        )
+        links = (
+            trav.select(
+                F.col("url").alias("_parent_url"),
+                "unit_priority",
+                "base_scheme",
+                "base_host",
+                F.explode(
+                    F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("link"))
+                ).alias("_s"),
+            )
+            .select(
+                "_parent_url",
+                "unit_priority",
+                "base_scheme",
+                "base_host",
+                F.coalesce(F.col("_s.text"), F.lit("")).alias("_raw"),
+            )
+            # C5 on the RAW href, then trim ASCII spaces (urls.go:96-101)
+            .filter(
+                (F.col("_raw") != "javascript:;") & ~F.col("_raw").startswith("#")
+            )
+            .withColumn("_href", F.expr("trim(BOTH ' ' FROM _raw)"))
+            .withColumn(
+                "_resolved",
+                F.when(
+                    F.col("_href").startswith("//"),
+                    F.concat(F.col("base_scheme"), F.lit("://"), F.col("_href")),
+                )
+                .when(
+                    F.col("_href").startswith("/"),
+                    F.concat(
+                        F.col("base_scheme"),
+                        F.lit("://"),
+                        F.col("base_host"),
+                        F.col("_href"),
+                    ),
+                )
+                .otherwise(F.col("_href")),
+            )
+            .filter(F.col("_resolved") != "")  # C6
+        )
+        new_edges = links.select(
+            F.col("_parent_url").alias("linked_from"),
+            F.col("_resolved").alias("url"),
+            F.col("unit_priority").alias("priority"),
+        )
+        frontier_next = deferred_edges.withColumn(
+            "deferred", F.lit(True)
+        ).unionByName(new_edges.withColumn("deferred", F.lit(False)))
+        with self._phase("frontier-write"):
+            store.write(frontier_next, "frontier", wave + 1)
+        next_counts = {
+            bool(r["deferred"]): r["count"]
+            for r in store.read(spark, "frontier", wave + 1)
+            .groupBy("deferred")
+            .count()
+            .collect()
+        }
+        m["n_new_links"] = next_counts.get(False, 0)
+        m["n_cached"] = {
+            r["row_kind"]: r["count"]
+            for r in store.read(spark, "results", wave)
+            .groupBy("row_kind")
+            .count()
+            .collect()
+        }.get("seen", 0)
+
+        # --- metrics + per-partition lineage (A5) --------------------------
+        store.write_metrics(
+            wave, {**m, "lineage": {str(k): int(v) for k, v in lineage.items()}}
+        )
+
+        for df in (norm, fresh, units, polite, fetched, ok):
+            df.unpersist()
+        return m

@@ -1,0 +1,165 @@
+"""Snapshot-committed table store for the wave loop.
+
+Iceberg-shaped semantics on a parquet backend (the sandbox has no Iceberg
+runtime jar; on a cluster, swap ``_write_parquet``/``read_*`` for
+``df.writeTo(table).append()`` + snapshot reads — the commit protocol below
+is exactly Iceberg's: write data files first, then one atomic metadata swap).
+
+Layout::
+
+    root/
+      manifest.json                  # atomic commit pointer (os.replace)
+      frontier/wave=K/part-*.parquet # next wave's input, written at wave K-1
+      visited/wave=K/...             # per-wave appends to the seen set
+      visited/compacted_upto=K/...   # periodic compaction (read-path rollup)
+      results/wave=K/...             # handler-output rows (A4)
+      metrics/wave=K/...             # per-wave counters + per-partition lineage (A5)
+      bloom/wave=K/...               # Bloom shard bitmaps as of end of wave K
+
+A wave K commit = all ``wave=K`` dirs fully written, frontier for K+1
+written, then ``manifest.json`` atomically replaced with ``last_wave=K``.
+Crash mid-wave → manifest still names K-1; resume recomputes wave K from
+the K-1 state and overwrites the partial dirs (exactly-once per wave).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+
+@dataclass
+class Manifest:
+    last_wave: int = -1
+    compacted_upto: int = -1  # visited waves ≤ this live in the compacted dir
+    done: bool = False
+    config_fingerprint: str = ""
+    updated_at: float = 0.0
+
+
+class CrawlStore:
+    TABLES = ("frontier", "visited", "results", "metrics", "bloom", "fetchlog")
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- manifest ----------------------------------------------------------
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, "manifest.json")
+
+    def read_manifest(self) -> Optional[Manifest]:
+        try:
+            with open(self._manifest_path) as fh:
+                return Manifest(**json.load(fh))
+        except FileNotFoundError:
+            return None
+
+    def commit(self, manifest: Manifest) -> None:
+        manifest.updated_at = time.time()
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest.__dict__, fh)
+        os.replace(tmp, self._manifest_path)  # atomic snapshot swap
+
+    # -- paths -------------------------------------------------------------
+    def wave_dir(self, table: str, wave: int) -> str:
+        return os.path.join(self.root, table, f"wave={wave}")
+
+    def compacted_dir(self, upto: int) -> str:
+        return os.path.join(self.root, "visited", f"compacted_upto={upto}")
+
+    # -- IO ------------------------------------------------------------------
+    def write(self, df, table: str, wave: int) -> str:
+        path = self.wave_dir(table, wave)
+        df.write.mode("overwrite").parquet(path)
+        return path
+
+    def read(self, spark, table: str, wave: int):
+        return spark.read.parquet(self.wave_dir(table, wave))
+
+    def has(self, table: str, wave: int) -> bool:
+        return os.path.exists(os.path.join(self.wave_dir(table, wave), "_SUCCESS"))
+
+    def visited_paths(self, manifest: Manifest) -> list[str]:
+        """Read-path for the full seen set as of ``manifest.last_wave``."""
+        paths = []
+        start = 0
+        if manifest.compacted_upto >= 0:
+            paths.append(self.compacted_dir(manifest.compacted_upto))
+            start = manifest.compacted_upto + 1
+        for w in range(start, manifest.last_wave + 1):
+            if self.has("visited", w):
+                paths.append(self.wave_dir("visited", w))
+        return paths
+
+    def read_visited(self, spark, manifest: Manifest):
+        paths = self.visited_paths(manifest)
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
+
+    def compact_visited(self, spark, manifest: Manifest) -> None:
+        """Roll per-wave visited appends into one dir (read-amplification
+        control for long crawls; Iceberg rewrite-data-files equivalent)."""
+        df = self.read_visited(spark, manifest)
+        if df is None:
+            return
+        target = self.compacted_dir(manifest.last_wave)
+        df.repartition(max(1, df.rdd.getNumPartitions() // 4)).write.mode(
+            "overwrite"
+        ).parquet(target)
+        old_compacted = manifest.compacted_upto
+        manifest.compacted_upto = manifest.last_wave
+        self.commit(manifest)
+        # old per-wave dirs are now shadowed; drop them to bound file count
+        for w in range(0, manifest.compacted_upto + 1):
+            shutil.rmtree(self.wave_dir("visited", w), ignore_errors=True)
+        if old_compacted >= 0:
+            shutil.rmtree(self.compacted_dir(old_compacted), ignore_errors=True)
+
+    # -- metrics (driver-side JSON: one tiny dict per wave; a Spark write
+    # would cost a whole job for a handful of counters) --------------------
+    def write_metrics(self, wave: int, metrics: dict) -> None:
+        path = os.path.join(self.root, "metrics")
+        os.makedirs(path, exist_ok=True)
+        tmp = os.path.join(path, f"wave={wave}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(metrics, fh)
+        os.replace(tmp, os.path.join(path, f"wave={wave}.json"))
+
+    def read_metrics(self, upto_wave: int) -> list[dict]:
+        out = []
+        for w in range(upto_wave + 1):
+            p = os.path.join(self.root, "metrics", f"wave={w}.json")
+            if os.path.exists(p):
+                with open(p) as fh:
+                    out.append(json.load(fh))
+        return out
+
+    def clean_uncommitted(self, last_wave: int) -> None:
+        """Delete partial outputs of any wave > last_wave (crash recovery)."""
+        for table in self.TABLES:
+            tdir = os.path.join(self.root, table)
+            if not os.path.isdir(tdir):
+                continue
+            for entry in os.listdir(tdir):
+                if not entry.startswith("wave="):
+                    continue
+                w = int(entry.split("=", 1)[1].split(".", 1)[0])
+                # frontier/wave=K+1 is written by wave K and is part of its commit
+                keep_upto = last_wave + 1 if table == "frontier" else last_wave
+                if w > keep_upto:
+                    full = os.path.join(tdir, entry)
+                    if os.path.isdir(full):
+                        shutil.rmtree(full, ignore_errors=True)
+                    else:
+                        os.remove(full)
+
+    def destroy(self) -> None:
+        shutil.rmtree(self.root, ignore_errors=True)
