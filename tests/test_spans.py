@@ -1,0 +1,58 @@
+"""Span model: render/parse round-trip (pure) + the Arrow-batched D1 UDF."""
+
+from pyspark.sql import functions as F
+
+from brink_spark.functions.spans import Span, parse_spans, render_html
+from brink_spark.functions.udfs import parse_spans_udf
+
+
+def _mk(doc):
+    spans = []
+    off = 0
+    for kind, text, media_ref in doc:
+        s = Span(kind, text, media_ref, off)
+        spans.append(s)
+        off += s.content_len()
+    return spans
+
+
+def test_roundtrip_pure():
+    spans = _mk(
+        [
+            ("text", "hello <world> & co", None),
+            ("link", "  /padded?b=2&a=1  ", None),
+            ("media", None, "img://h/x.png"),
+            ("link", "javascript:;", None),
+            ("text", 'quotes "inside"', None),
+            ("link", "", None),
+        ]
+    )
+    assert parse_spans(render_html(spans)) == spans
+
+
+def test_roundtrip_offsets_strictly_increasing():
+    spans = _mk([("text", "aa", None), ("media", None, "img://m"), ("link", "/x", None)])
+    offs = [s.offset for s in spans]
+    assert offs == [0, 2, 9]
+    assert parse_spans(render_html(spans)) == spans
+
+
+def test_parse_spans_udf_matches_kernel(spark, tiny_fixture):
+    """The Arrow UDF must agree with the pure kernel on real fixture pages
+    (and therefore with the generator's spans — the input_hint invariant)."""
+    sample = tiny_fixture.pages[:40]
+    df = spark.createDataFrame(
+        [(p.url_norm, p.body) for p in sample], "url_norm string, body string"
+    ).withColumn("spans", parse_spans_udf("body"))
+    got = {r["url_norm"]: r["spans"] for r in df.collect()}
+    for p in sample:
+        parsed = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in got[p.url_norm]]
+        want = [tuple(s) for s in p.spans]
+        assert parsed == want, p.url_norm
+
+
+def test_parse_spans_udf_null_body(spark):
+    df = spark.createDataFrame([(None,), ("<html><body><p>x</p></body></html>",)], "body string")
+    rows = df.withColumn("spans", parse_spans_udf("body")).collect()
+    assert rows[0]["spans"] is None
+    assert [s["text"] for s in rows[1]["spans"]] == ["x"]
