@@ -1,0 +1,515 @@
+"""Training-data pipeline operators over documents/embeddings.
+
+Deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+embedding-cosine), similarity search (brute-force top-k + LSH-bucketed),
+text analysis (lang-id heuristic, quality scoring, token counts,
+fingerprinting) and the multimodal decode stub — each with a DuckDB oracle.
+
+Cross-engine determinism rules used throughout:
+- hashes are md5 hex substrings (identical in Spark and DuckDB); a MinHash
+  is the lexicographic MIN of salted md5s — a valid random-permutation
+  proxy that both engines order identically (ASCII);
+- float work is done in DOUBLE with explicit casts on both sides and
+  either thresholded with wide margins or reduced to integer outputs;
+- LSH buckets come from sign bits of stored float values — bit-exact.
+
+Scale path notes: every operator is shuffle-minimal (one exploded-shingle
+shuffle feeds all MinHash bands; LSH turns the O(n²) similarity join into
+per-bucket joins; the brute-force path exists as the small-side baseline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+
+def _docs(spark, sf):
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+def _emb(spark, sf):
+    return spark.read.parquet(f"{sf}/embeddings.parquet")
+
+
+# --------------------------------------------------------------------------
+# dedup: exact
+
+
+def q_dedup_exact(spark, sf):
+    d = _docs(spark, sf)
+    return (
+        d.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("rep_doc_id"),
+        )
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, COUNT(*) AS n_copies, MIN(doc_id) AS rep_doc_id
+FROM documents GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# shingles (shared by Jaccard + MinHash): distinct word 3-grams per doc
+
+
+def _shingles(spark, sf) -> DataFrame:
+    d = _docs(spark, sf).select("doc_id", F.split("text", " ").alias("w"))
+    d = d.filter(F.size("w") >= 3)
+    return d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 2),
+                    lambda i: F.concat_ws(" ", F.slice("w", i, 3)),
+                )
+            )
+        ).alias("sh"),
+    )
+
+
+_SQL_SHINGLES = """
+shingles AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) words,
+       UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3)
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf):
+    """Word-3-gram Jaccard over docs sharing ≥1 shingle; pairs with J ≥ 0.5.
+    The shared-shingle prejoin is the scale trick: no all-pairs product."""
+    sh = _shingles(spark, sf)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "n_inter", "jaccard")
+    )
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH {_SQL_SHINGLES},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, n_inter,
+       ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+"""
+
+
+def q_dedup_minhash_lsh(spark, sf):
+    """MinHash (4 bands × 1 row) + LSH banding: docs agreeing on a band's
+    min-hash become candidate pairs. Signature = lexicographic min of
+    salted md5(shingle) — engine-identical, permutation-proxy."""
+    sh = _shingles(spark, sf)
+    bands = spark.range(4).select(F.col("id").cast("int").alias("band"))
+    sig = (
+        sh.crossJoin(F.broadcast(bands))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.min(
+                F.substring(
+                    F.md5(F.concat(F.col("band").cast("string"), F.lit("|"), F.col("sh"))),
+                    1,
+                    12,
+                )
+            ).alias("mh")
+        )
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.mh") == F.col("b.mh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+SQL_MINHASH_LSH = f"""
+WITH {_SQL_SHINGLES},
+sig AS (
+  SELECT doc_id, b.band,
+         MIN(substr(md5(CAST(b.band AS VARCHAR) || '|' || sh), 1, 12)) AS mh
+  FROM shingles CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band)
+  GROUP BY doc_id, b.band)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM sig a JOIN sig b ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id
+"""
+
+
+def q_dedup_simhash(spark, sf):
+    """16-bit SimHash over distinct tokens: per bit, majority vote of the
+    token-hash bits (md5 nibbles via strpos — engine-identical)."""
+    d = _docs(spark, sf)
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    ).filter(F.col("tok") != "")
+    toks = toks.withColumn("h4", F.substring(F.md5("tok"), 1, 4))
+    bits = spark.range(16).select(F.col("id").cast("int").alias("bit"))
+    per_bit = (
+        toks.crossJoin(F.broadcast(bits))
+        .withColumn(
+            "nib",
+            F.expr(
+                "instr('0123456789abcdef', substring(h4, cast(bit / 4 as int) + 1, 1)) - 1"
+            ),
+        )
+        .withColumn("bitval", F.expr("cast((nib >> (bit % 4)) & 1 as int)"))
+        .groupBy("doc_id", "bit")
+        .agg(F.sum(F.when(F.col("bitval") == 1, 1).otherwise(-1)).alias("score"))
+    )
+    return (
+        per_bit.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("score") > 0, F.expr("cast(pow(2, bit) as bigint)")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("simhash16")
+        )
+    )
+
+
+SQL_SIMHASH = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM
+    (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''),
+h AS (SELECT doc_id, substr(md5(tok), 1, 4) AS h4 FROM toks),
+per_bit AS (
+  SELECT doc_id, b.bit,
+         SUM(CASE WHEN ((strpos('0123456789abcdef',
+                                substr(h4, (b.bit // 4) + 1, 1)) - 1)
+                        >> (b.bit % 4)) & 1 = 1
+                  THEN 1 ELSE -1 END) AS score
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bit) b
+  GROUP BY doc_id, b.bit)
+SELECT doc_id,
+       SUM(CASE WHEN score > 0 THEN CAST(POW(2, bit) AS BIGINT) ELSE 0 END) AS simhash16
+FROM per_bit GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# embeddings: near-dup + similarity search
+
+
+def _emb_double(spark, sf):
+    return _emb(spark, sf).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+
+
+_DOT = "aggregate(zip_with(a.e, b.e, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+_NORM = "sqrt(aggregate(transform(e, x -> x * x), 0D, (acc, v) -> acc + v))"
+
+
+def q_embed_neardup(spark, sf):
+    """All-pairs cosine ≥ 0.45 in double precision (brute-force baseline;
+    the LSH query below is the scale path)."""
+    e = _emb_double(spark, sf).withColumn("nrm", F.expr(_NORM))
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("cosine", F.expr(_DOT) / (F.col("a.nrm") * F.col("b.nrm")))
+        .filter(F.col("cosine") >= 0.45)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round("cosine", 4).alias("cos_r"),
+        )
+    )
+
+
+_SQL_DOT = """
+(SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+ FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y))
+"""
+_SQL_NRM = """
+(SELECT SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+ FROM (SELECT unnest(embedding) AS x))
+"""
+
+SQL_EMBED_NEARDUP = f"""
+WITH n AS (SELECT vec_id, embedding, {_SQL_NRM} AS nrm FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND({_SQL_DOT} / (a.nrm * b.nrm), 4) AS cos_r
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE {_SQL_DOT} / (a.nrm * b.nrm) >= 0.45
+"""
+
+
+def q_ann_bruteforce_topk(spark, sf):
+    """Brute-force cosine top-5 for query vectors vec_id < 10 (rank by
+    (cosine DESC, vec_id) — deterministic tie-break)."""
+    e = _emb_double(spark, sf).withColumn("nrm", F.expr(_NORM))
+    q = e.filter(F.col("vec_id") < 10).alias("a")
+    c = e.alias("b")
+    scored = (
+        q.join(c, F.col("a.vec_id") != F.col("b.vec_id"))
+        .withColumn("cosine", F.expr(_DOT) / (F.col("a.nrm") * F.col("b.nrm")))
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            "cosine",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+SQL_ANN_TOPK = f"""
+WITH n AS (SELECT vec_id, embedding, {_SQL_NRM} AS nrm FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         {_SQL_DOT} / (a.nrm * b.nrm) AS cosine
+  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < 10)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored) WHERE rank <= 5
+"""
+
+
+def q_ann_lsh_buckets(spark, sf):
+    """LSH-bucketed candidate generation: 8-bit random-hyperplane proxy from
+    sign bits of dims 0,8,...,56 (bit-exact across engines). The scale path:
+    the O(n²) join becomes per-bucket joins."""
+    e = _emb(spark, sf)
+    bucket = sum(
+        F.when(F.element_at("embedding", k * 8 + 1) >= 0, F.lit(1 << k)).otherwise(
+            F.lit(0)
+        )
+        for k in range(8)
+    )
+    eb = e.select("vec_id", bucket.alias("bucket"))
+    a = eb.alias("a")
+    b = eb.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.bucket").alias("bucket"),
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+    )
+    return pairs
+
+
+_SQL_BUCKET = " + ".join(
+    f"(CASE WHEN embedding[{k * 8 + 1}] >= 0 THEN {1 << k} ELSE 0 END)"
+    for k in range(8)
+)
+
+SQL_ANN_LSH = f"""
+WITH eb AS (SELECT vec_id, {_SQL_BUCKET} AS bucket FROM embeddings)
+SELECT a.bucket AS bucket, a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+"""
+
+
+# --------------------------------------------------------------------------
+# text analysis
+
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for")
+
+
+def q_text_quality(spark, sf):
+    """Quality features: token count, distinct-token ratio proxy, stopword
+    count, mean word length ×100 (integer outputs — FP-safe)."""
+    d = _docs(spark, sf)
+    w = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(w).alias("n_tokens"),
+        F.size(F.array_distinct(w)).alias("n_distinct_tokens"),
+        F.size(F.filter(w, lambda t: F.array_contains(stop_arr, t))).alias("n_stopwords"),
+        F.floor(F.length(F.regexp_replace("text", " ", "")) * 100 / F.size(w)).alias(
+            "mean_wordlen_x100"
+        ),
+    )
+
+
+_SQL_STOP = "('" + "','".join(_STOPWORDS) + "')"
+
+SQL_TEXT_QUALITY = f"""
+SELECT doc_id, lang,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+       len(list_filter(string_split(text, ' '), t -> t IN {_SQL_STOP})) AS n_stopwords,
+       CAST(FLOOR(length(replace(text, ' ', '')) * 100 / len(string_split(text, ' ')))
+            AS BIGINT) AS mean_wordlen_x100
+FROM documents
+"""
+
+
+def q_text_langid(spark, sf):
+    """N-gram lang-id heuristic: stopword-density vote vs the labeled lang
+    (a confusion-matrix style output)."""
+    d = _docs(spark, sf)
+    w = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    density = F.size(F.filter(w, lambda t: F.array_contains(stop_arr, t))) * 100 / F.size(w)
+    pred = F.when(density >= 10, "en-like").otherwise("other")
+    return (
+        d.select("lang", pred.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+SQL_TEXT_LANGID = f"""
+SELECT lang,
+       CASE WHEN len(list_filter(string_split(text, ' '), t -> t IN {_SQL_STOP}))
+                 * 100 / len(string_split(text, ' ')) >= 10
+            THEN 'en-like' ELSE 'other' END AS predicted,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY 1, 2
+"""
+
+
+def q_doc_fingerprint(spark, sf):
+    """Document fingerprint: md5 of the normalized 64-char prefix."""
+    d = _docs(spark, sf)
+    norm = F.substring(F.regexp_replace(F.lower("text"), "\\s+", " "), 1, 64)
+    return (
+        d.select("doc_id", F.substring(F.md5(norm), 1, 16).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("rep_doc_id"))
+    )
+
+
+SQL_FINGERPRINT = r"""
+SELECT substr(md5(substr(regexp_replace(lower(text), '\s+', ' ', 'g'), 1, 64)), 1, 16) AS fp,
+       COUNT(*) AS n_docs, MIN(doc_id) AS rep_doc_id
+FROM documents GROUP BY 1
+"""
+
+
+def q_token_stats_by_lang(spark, sf):
+    d = _docs(spark, sf)
+    w = F.split("text", " ")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(w)).alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.max(F.size(w)).alias("max_tokens"),
+    )
+
+
+SQL_TOKEN_STATS = """
+SELECT lang, COUNT(*) AS n_docs,
+       SUM(len(string_split(text, ' '))) AS total_tokens,
+       SUM(n_chars) AS total_chars,
+       MAX(len(string_split(text, ' '))) AS max_tokens
+FROM documents GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# multimodal stub: binary payload plumbing through mapInPandas
+
+
+def q_multimodal_features(spark, sf):
+    """Opaque-binary multimodal plumbing: documents → binary payload →
+    Arrow-batched feature extraction via mapInPandas. The decode itself is
+    a deterministic stub (no image/audio libs in this container — see
+    _fake_decode); the schema, batching and partitioning are the real
+    production shape."""
+    d = _docs(spark, sf).select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def _extract(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            # _fake_decode: a real pipeline would decode image/audio bytes
+            # here (PIL/librosa); stubbed deterministically on byte stats.
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "first_byte": payloads.map(
+                        lambda b: int(b[0]) if len(b) else -1
+                    ).astype("int64"),
+                    "modality": "text",
+                }
+            )
+
+    return d.mapInPandas(
+        _extract,
+        schema="doc_id long, n_bytes long, first_byte long, modality string",
+    )
+
+
+SQL_MULTIMODAL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN length(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE -1 END
+            AS BIGINT) AS first_byte,
+       'text' AS modality
+FROM documents
+"""
+
+
+PIPELINE_QUERIES = {
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_MINHASH_LSH),
+    "dedup_simhash": (q_dedup_simhash, SQL_SIMHASH),
+    "embed_neardup": (q_embed_neardup, SQL_EMBED_NEARDUP),
+    "ann_bruteforce_topk": (q_ann_bruteforce_topk, SQL_ANN_TOPK),
+    "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_ANN_LSH),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "text_langid": (q_text_langid, SQL_TEXT_LANGID),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_FINGERPRINT),
+    "token_stats_by_lang": (q_token_stats_by_lang, SQL_TOKEN_STATS),
+    "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
+}

@@ -1,0 +1,455 @@
+"""Relational query suite: TPC-H-shaped analytics + crawl-stage analogues.
+
+The crawl engine's relational stages (normalize→dedup, anti-join vs seen,
+inner-join cached dispatch, per-host aggregation — SURVEY.md §2 E1/H1-H4)
+are re-expressed here over the driver's testdata tables so DuckDB can
+oracle-check them: `events` rows are turned into deterministic synthetic
+URLs with string ops available in both engines.
+
+Plan-quality notes (checked via .explain):
+- every filter/projection sits directly on the scan (PushedFilters/ReadSchema);
+- small dimension joins broadcast (region/nation/customer at test SF; on a
+  cluster Catalyst/AQE makes the same call under the threshold);
+- aggregates are partial (map-side) before the exchange — free from groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# TPC-H-shaped analytics
+
+
+# Cross-engine FP rule: money/quantity columns are fixed-decimal values, so
+# per-term ROUND(x * 10^k) recovers the exact integer (the FP error is
+# ~1e-9, far from the .5 boundary) and BIGINT sums are then exact in both
+# engines — immune to summation order, unlike ROUND(SUM(double), 2) which
+# straddles round boundaries (observed: 461871.08 vs .09).
+
+
+def _x100(col):
+    return F.round(col * 100).cast("bigint")
+
+
+def q_pricing_summary(spark, sf):
+    """TPC-H Q1 shape: one-pass grouped aggregation over the fact table.
+    Sums as exact scaled integers (see module FP rule)."""
+    l = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    disc_x10000 = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("bigint")
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_x100(F.col("l_quantity"))).alias("sum_qty_x100"),
+            F.sum(_x100(F.col("l_extendedprice"))).alias("sum_base_price_x100"),
+            F.sum(disc_x10000).alias("sum_disc_price_x10000"),
+            F.floor(
+                F.sum(_x100(F.col("l_quantity"))) / F.count(F.lit(1))
+            ).alias("avg_qty_x100"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(ROUND(l_quantity * 100) AS BIGINT))        AS sum_qty_x100,
+       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))   AS sum_base_price_x100,
+       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+                                                           AS sum_disc_price_x10000,
+       CAST(FLOOR(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) * 1.0 / COUNT(*))
+            AS BIGINT)                                     AS avg_qty_x100,
+       COUNT(*)                                            AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(spark, sf):
+    """TPC-H Q5 shape: multi-join star with broadcast dims."""
+    l = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                ).cast("bigint")
+            ).alias("revenue_x10000"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_REVENUE_NATION = """
+SELECT n_name,
+       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+           AS revenue_x10000,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY n_name
+"""
+
+
+def q_top_orders(spark, sf):
+    """TPC-H Q3 shape, made deterministic: revenue per order above a fixed
+    threshold instead of LIMIT (tie-proof across engines)."""
+    l = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderdate") < F.lit("1997-01-01"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                ).cast("bigint")
+            ).alias("revenue_x10000")
+        )
+        .filter(F.col("revenue_x10000") > 300000 * 10000)
+    )
+
+
+SQL_TOP_ORDERS = """
+SELECT o_orderkey, o_orderpriority,
+       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+           AS revenue_x10000
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY o_orderkey, o_orderpriority
+HAVING SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+       > 3000000000
+"""
+
+
+def q_order_priority(spark, sf):
+    """TPC-H Q4 shape: semi-join (EXISTS) + count per priority."""
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem").filter(F.col("l_discount") > 0.05)
+    return (
+        o.join(l.select("l_orderkey").distinct(), o.o_orderkey == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+SQL_ORDER_PRIORITY = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+GROUP BY o_orderpriority
+"""
+
+
+def q_customer_order_distribution(spark, sf):
+    """TPC-H Q13 shape: left outer join + distribution of counts."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+SQL_CUST_DIST = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey) t
+GROUP BY c_count
+"""
+
+
+def q_part_supplier_stats(spark, sf):
+    """Join fact→part with per-group stats (integer outputs, FP-safe)."""
+    l = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")).alias(
+                "total_qty_x100"
+            ),
+        )
+    )
+
+
+SQL_PART_SUPPLIER = """
+SELECT p_brand, COUNT(*) AS n_lines,
+       COUNT(DISTINCT l_suppkey) AS n_suppliers,
+       SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS total_qty_x100
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+# --------------------------------------------------------------------------
+# events: streaming-shaped analytics (sessionize / tumble / running)
+
+
+def q_events_tumbling(spark, sf):
+    """Tumbling 1-hour windows per event type (watermark-free batch form)."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "total_value_x100"
+            ),
+        )
+    )
+
+
+SQL_EVENTS_TUMBLING = """
+SELECT CAST(FLOOR(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch, event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS total_value_x100
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_events_sessionize(spark, sf):
+    """Session windows via gap > 30 min (lag + cumulative sum), then
+    sessions-per-user — the stateful-streaming shape in batch."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gaps = e.withColumn(
+        "new_session",
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+            > 1800
+        ).cast("int"),
+    ).withColumn(
+        "session_id",
+        F.sum(F.coalesce("new_session", F.lit(1))).over(
+            Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    )
+    return gaps.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+SQL_EVENTS_SESSIONIZE = """
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN FLOOR(epoch(ts)) - FLOOR(epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts))) > 1800
+              THEN 1
+              WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1
+              ELSE 0 END AS new_session
+  FROM events),
+sess AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps)
+SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events
+FROM sess GROUP BY user_id
+"""
+
+
+def q_events_user_stats(spark, sf):
+    e = _t(spark, sf, "events")
+    return e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("total_value_x100"),
+        F.unix_timestamp(F.max("ts")).alias("last_seen_epoch"),
+    )
+
+
+SQL_EVENTS_USER_STATS = """
+SELECT user_id, event_type, COUNT(*) AS n,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS total_value_x100,
+       CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS last_seen_epoch
+FROM events GROUP BY user_id, event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# crawl-stage relational analogues over synthesized URLs (E1/H1/H2/B1-lite)
+
+# url := scheme://host{user_id%20}.example/p{event_id%997}?ref={event_type}
+# "normalization" here = dropping the ignored ref param (B1's ignore path);
+# the full normalize kernel is golden-tested in tests/test_urls_golden.py.
+_URL_SPARK = (
+    "concat('https://host', cast(pmod(user_id, 20) as string), "
+    "'.example/p', cast(pmod(event_id, 997) as string))"
+)
+_URL_SQL = (
+    "'https://host' || CAST(user_id % 20 AS VARCHAR) || "
+    "'.example/p' || CAST(event_id % 997 AS VARCHAR)"
+)
+
+
+def q_url_normalize_dedup(spark, sf):
+    """E1 within-wave dedup: distinct normalized URLs per host."""
+    e = _t(spark, sf, "events")
+    urls = e.select(
+        F.expr(_URL_SPARK).alias("url_norm"),
+        F.concat(
+            F.lit("host"), F.pmod("user_id", F.lit(20)).cast("string"), F.lit(".example")
+        ).alias("host"),
+    )
+    return urls.groupBy("host").agg(
+        F.countDistinct("url_norm").alias("n_unique"),
+        F.count(F.lit(1)).alias("n_edges"),
+    )
+
+
+SQL_URL_DEDUP = f"""
+SELECT 'host' || CAST(user_id % 20 AS VARCHAR) || '.example' AS host,
+       COUNT(DISTINCT {_URL_SQL}) AS n_unique,
+       COUNT(*) AS n_edges
+FROM events GROUP BY 1
+"""
+
+
+def q_frontier_anti_join(spark, sf):
+    """H1: frontier ⋉ visited anti join — unseen URLs per host.
+    visited := URLs of 'purchase' events; frontier := 'click'/'view' events."""
+    e = _t(spark, sf, "events")
+    urls = e.select(
+        "event_type",
+        F.expr(_URL_SPARK).alias("url_norm"),
+        F.concat(
+            F.lit("host"), F.pmod("user_id", F.lit(20)).cast("string"), F.lit(".example")
+        ).alias("host"),
+    )
+    visited = urls.filter(F.col("event_type") == "purchase").select("url_norm").distinct()
+    frontier = urls.filter(F.col("event_type").isin("click", "view"))
+    unseen = frontier.join(visited, "url_norm", "left_anti")
+    return unseen.groupBy("host").agg(
+        F.countDistinct("url_norm").alias("n_unseen"),
+        F.count(F.lit(1)).alias("n_edges"),
+    )
+
+
+SQL_FRONTIER_ANTI = f"""
+WITH urls AS (
+  SELECT event_type, {_URL_SQL} AS url_norm,
+         'host' || CAST(user_id % 20 AS VARCHAR) || '.example' AS host
+  FROM events),
+visited AS (SELECT DISTINCT url_norm FROM urls WHERE event_type = 'purchase')
+SELECT host, COUNT(DISTINCT url_norm) AS n_unseen, COUNT(*) AS n_edges
+FROM urls f
+WHERE event_type IN ('click', 'view')
+  AND NOT EXISTS (SELECT 1 FROM visited v WHERE v.url_norm = f.url_norm)
+GROUP BY host
+"""
+
+
+def q_cached_dispatch(spark, sf):
+    """H2: frontier ⋈ visited inner join — cached handler dispatches."""
+    e = _t(spark, sf, "events")
+    urls = e.select("event_type", F.expr(_URL_SPARK).alias("url_norm"))
+    visited = (
+        urls.filter(F.col("event_type") == "purchase")
+        .groupBy("url_norm")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    frontier = urls.filter(F.col("event_type").isin("click", "view"))
+    return (
+        frontier.join(visited, "url_norm", "inner")
+        .groupBy("url_norm", "hits")
+        .agg(F.count(F.lit(1)).alias("n_cached_dispatch"))
+    )
+
+
+SQL_CACHED = f"""
+WITH urls AS (SELECT event_type, {_URL_SQL} AS url_norm FROM events),
+visited AS (SELECT url_norm, COUNT(*) AS hits FROM urls
+            WHERE event_type = 'purchase' GROUP BY url_norm)
+SELECT f.url_norm, v.hits, COUNT(*) AS n_cached_dispatch
+FROM urls f JOIN visited v ON f.url_norm = v.url_norm
+WHERE f.event_type IN ('click', 'view')
+GROUP BY f.url_norm, v.hits
+"""
+
+
+def q_politeness_topk(spark, sf):
+    """Politeness top-k shape: first k URLs per host by (priority, url) —
+    the window the scheduler runs each wave (G1/G2 extension)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf, "events")
+    urls = e.select(
+        F.expr(_URL_SPARK).alias("url_norm"),
+        F.concat(
+            F.lit("host"), F.pmod("user_id", F.lit(20)).cast("string"), F.lit(".example")
+        ).alias("host"),
+        F.pmod("event_id", F.lit(5)).cast("int").alias("priority"),
+    ).distinct()
+    w = Window.partitionBy("host").orderBy("priority", "url_norm")
+    return (
+        urls.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("host", "url_norm", "priority", "rn")
+    )
+
+
+SQL_POLITENESS = f"""
+WITH urls AS (
+  SELECT DISTINCT {_URL_SQL} AS url_norm,
+         'host' || CAST(user_id % 20 AS VARCHAR) || '.example' AS host,
+         CAST(event_id % 5 AS INT) AS priority
+  FROM events),
+ranked AS (
+  SELECT host, url_norm, priority,
+         ROW_NUMBER() OVER (PARTITION BY host ORDER BY priority, url_norm) AS rn
+  FROM urls)
+SELECT host, url_norm, priority, rn FROM ranked WHERE rn <= 10
+"""
+
+
+RELATIONAL_QUERIES = {
+    "pricing_summary": (q_pricing_summary, SQL_PRICING),
+    "revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE_NATION),
+    "top_orders": (q_top_orders, SQL_TOP_ORDERS),
+    "order_priority": (q_order_priority, SQL_ORDER_PRIORITY),
+    "customer_order_distribution": (q_customer_order_distribution, SQL_CUST_DIST),
+    "part_supplier_stats": (q_part_supplier_stats, SQL_PART_SUPPLIER),
+    "events_tumbling": (q_events_tumbling, SQL_EVENTS_TUMBLING),
+    "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
+    "events_user_stats": (q_events_user_stats, SQL_EVENTS_USER_STATS),
+    "url_normalize_dedup": (q_url_normalize_dedup, SQL_URL_DEDUP),
+    "frontier_anti_join": (q_frontier_anti_join, SQL_FRONTIER_ANTI),
+    "cached_dispatch": (q_cached_dispatch, SQL_CACHED),
+    "politeness_topk": (q_politeness_topk, SQL_POLITENESS),
+}
