@@ -1,0 +1,128 @@
+"""Benchmark harness (driver-run per round; also usable standalone).
+
+Times the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the crawl engine's
+fetch+dedup throughput over the deterministic 'small' synthetic site
+(seeded politeness budget, wave-capped for a fixed workload).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total seconds>, "unit": "sec",
+   "queries": {...per-component seconds...}, "sf": ...,
+   "crawl": {"urls_per_sec": ..., ...}}
+
+Scaling-efficiency evidence (local[8] vs local[32]) lives in
+tools/bench_scaling.py → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_orders",
+    "events_sessionize",
+    "frontier_anti_join",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "embed_neardup",
+    "ann_lsh_buckets",
+]
+
+CRAWL_WAVES = 10
+CRAWL_SEEDS = 100
+
+
+def run_crawl_bench(spark, cpus: int) -> tuple[float, dict]:
+    from pyspark.sql import functions as F
+
+    from brink_spark.plans.crawl import CrawlEngine
+    from brink_spark.sources.sitegen import generate_site, seeds_to_spark
+
+    fixture = generate_site("small", 42)
+    store_dir = f"/tmp/brink_bench_store_{cpus}"
+    shutil.rmtree(store_dir, ignore_errors=True)
+    engine = CrawlEngine(spark, fixture.config, store_dir)
+    # wide seed set so waves ramp to steady-state quickly (throughput bench,
+    # not the oracle-parity configuration)
+    seeds = [
+        dict(url=p.url, priority=0)
+        for p in fixture.pages[:CRAWL_SEEDS]
+        if p.status == 200
+    ]
+    seeds_df = spark.createDataFrame(
+        [(s["url"], s["priority"]) for s in seeds], "url string, priority int"
+    )
+    t0 = time.time()
+    summary = engine.run(fixture=fixture, seeds=seeds_df, max_waves=CRAWL_WAVES)
+    wall = time.time() - t0
+    processed = summary.total_fetched + summary.total_cached
+    stats = {
+        "urls_per_sec": round(processed / wall, 2),
+        "fetched": summary.total_fetched,
+        "ok": summary.total_ok,
+        "cached": summary.total_cached,
+        "new_links": summary.total_new_links,
+        "waves": len(summary.wave_metrics),
+        "wall_sec": round(wall, 2),
+    }
+    shutil.rmtree(store_dir, ignore_errors=True)
+    return wall, stats
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from brink_spark.queries import ALL_QUERIES
+    from brink_spark.session import get_spark
+
+    spark = get_spark(
+        f"local[{cpus}]",
+        app_name="brink_bench",
+        shuffle_partitions=32,
+        extra={"spark.ui.showConsoleProgress": "false"},
+    )
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = ALL_QUERIES[name][0]
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+
+    crawl_wall, crawl_stats = run_crawl_bench(spark, cpus)
+    timings["crawl_small"] = round(crawl_wall, 3)
+    total += crawl_wall
+    print(f"# crawl: {crawl_stats}", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_plus_crawl_wall_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "crawl": crawl_stats,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
