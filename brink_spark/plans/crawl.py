@@ -191,11 +191,11 @@ class CrawlEngine:
             manifest.last_wave = wave
             self.store.commit(manifest)
             summary.wave_metrics.append(m)
-            summary.total_fetched += m["n_fetched"]
-            summary.total_ok += m["n_ok"]
-            summary.total_cached += m["n_cached"]
-            summary.total_deferred += m["n_deferred"]
-            summary.total_new_links += m["n_new_links"]
+            summary.total_fetched += m.get("n_fetched", 0)
+            summary.total_ok += m.get("n_ok", 0)
+            summary.total_cached += m.get("n_cached", 0)
+            summary.total_deferred += m.get("n_deferred", 0)
+            summary.total_new_links += m.get("n_new_links", 0)
             if (
                 self.config.compact_visited_every > 0
                 and (wave + 1) % self.config.compact_visited_every == 0
@@ -236,16 +236,20 @@ class CrawlEngine:
             F.col("_p.base_host").alias("base_host"),
         )
         norm.persist()
-        with self._phase("norm+count"):
-            null_counts = {
-                bool(r["_bad"]): r["count"]
-                for r in norm.groupBy(F.col("url_norm").isNull().alias("_bad"))
-                .count()
-                .collect()
-        }
-        m["n_frontier"] = sum(null_counts.values())
-        m["n_malformed"] = null_counts.get(True, 0)
-        if m["n_frontier"] == 0:
+        if cfg.collect_metrics:
+            with self._phase("norm+count"):
+                null_counts = {
+                    bool(r["_bad"]): r["count"]
+                    for r in norm.groupBy(F.col("url_norm").isNull().alias("_bad"))
+                    .count()
+                    .collect()
+                }
+            m["n_frontier"] = sum(null_counts.values())
+            m["n_malformed"] = null_counts.get(True, 0)
+            if m["n_frontier"] == 0:
+                norm.unpersist()
+                return None
+        elif norm.isEmpty():
             norm.unpersist()
             return None
         edges = norm.filter(F.col("url_norm").isNotNull())
@@ -347,25 +351,26 @@ class CrawlEngine:
             )
         # counters + lineage in one pass over the (tiny) written log
         lineage: dict[int, int] = {}
-        outcome_counts: dict[str, int] = {}
-        with self._phase("log-readback"):
-            for r in (
-                store.read(spark, "fetchlog", wave)
-                .groupBy("outcome", "partition_id")
-                .count()
-                .collect()
-            ):
-                outcome_counts[r["outcome"]] = outcome_counts.get(r["outcome"], 0) + r["count"]
-                if r["partition_id"] >= 0:
-                    lineage[r["partition_id"]] = lineage.get(r["partition_id"], 0) + r["count"]
-        m["n_robots_denied"] = outcome_counts.pop("robots_denied", 0)
-        m["n_deferred"] = outcome_counts.pop("deferred", 0)
-        m["n_fetched"] = sum(outcome_counts.values())
-        m["n_units"] = m["n_fetched"] + m["n_robots_denied"] + m["n_deferred"]
-        m["n_miss"] = outcome_counts.get("miss", 0)
-        m["n_not_allowed"] = outcome_counts.get("not_allowed", 0)
-        m["n_too_large"] = outcome_counts.get("too_large", 0)
-        m["n_ok"] = outcome_counts.get("ok", 0)
+        if cfg.collect_metrics:
+            outcome_counts: dict[str, int] = {}
+            with self._phase("log-readback"):
+                for r in (
+                    store.read(spark, "fetchlog", wave)
+                    .groupBy("outcome", "partition_id")
+                    .count()
+                    .collect()
+                ):
+                    outcome_counts[r["outcome"]] = outcome_counts.get(r["outcome"], 0) + r["count"]
+                    if r["partition_id"] >= 0:
+                        lineage[r["partition_id"]] = lineage.get(r["partition_id"], 0) + r["count"]
+            m["n_robots_denied"] = outcome_counts.pop("robots_denied", 0)
+            m["n_deferred"] = outcome_counts.pop("deferred", 0)
+            m["n_fetched"] = sum(outcome_counts.values())
+            m["n_units"] = m["n_fetched"] + m["n_robots_denied"] + m["n_deferred"]
+            m["n_miss"] = outcome_counts.get("miss", 0)
+            m["n_not_allowed"] = outcome_counts.get("not_allowed", 0)
+            m["n_too_large"] = outcome_counts.get("too_large", 0)
+            m["n_ok"] = outcome_counts.get("ok", 0)
 
         ok = (
             fetched.filter(F.col("outcome") == "ok")
@@ -476,21 +481,22 @@ class CrawlEngine:
         ).unionByName(new_edges.withColumn("deferred", F.lit(False)))
         with self._phase("frontier-write"):
             store.write(frontier_next, "frontier", wave + 1)
-        next_counts = {
-            bool(r["deferred"]): r["count"]
-            for r in store.read(spark, "frontier", wave + 1)
-            .groupBy("deferred")
-            .count()
-            .collect()
-        }
-        m["n_new_links"] = next_counts.get(False, 0)
-        m["n_cached"] = {
-            r["row_kind"]: r["count"]
-            for r in store.read(spark, "results", wave)
-            .groupBy("row_kind")
-            .count()
-            .collect()
-        }.get("seen", 0)
+        if cfg.collect_metrics:
+            next_counts = {
+                bool(r["deferred"]): r["count"]
+                for r in store.read(spark, "frontier", wave + 1)
+                .groupBy("deferred")
+                .count()
+                .collect()
+            }
+            m["n_new_links"] = next_counts.get(False, 0)
+            m["n_cached"] = {
+                r["row_kind"]: r["count"]
+                for r in store.read(spark, "results", wave)
+                .groupBy("row_kind")
+                .count()
+                .collect()
+            }.get("seen", 0)
 
         # --- metrics + per-partition lineage (A5) --------------------------
         store.write_metrics(

@@ -239,20 +239,47 @@ _NORM = "sqrt(aggregate(transform(e, x -> x * x), 0D, (acc, v) -> acc + v))"
 
 
 def q_embed_neardup(spark, sf):
-    """All-pairs cosine ≥ 0.45 in double precision (brute-force baseline;
-    the LSH query below is the scale path)."""
-    e = _emb_double(spark, sf).withColumn("nrm", F.expr(_NORM))
-    a = e.alias("a")
-    b = e.alias("b")
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .withColumn("cosine", F.expr(_DOT) / (F.col("a.nrm") * F.col("b.nrm")))
-        .filter(F.col("cosine") >= 0.45)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round("cosine", 4).alias("cos_r"),
-        )
+    """All-pairs cosine ≥ 0.45: broadcast-block numpy matmul via
+    mapInPandas — each task computes its row-block against the broadcast
+    matrix (Arrow-batched, BLAS-backed). The brute-force baseline for the
+    LSH scale path below; the broadcast side must fit in executor memory
+    (beyond that, switch to the LSH buckets). Double precision: float32
+    inputs are exact in float64, so the ~1e-13 summation-order error is
+    nowhere near the 0.45 threshold for any pair."""
+    import numpy as np
+
+    e = _emb(spark, sf)
+    rows = e.select("vec_id", "embedding").collect()  # driver: only to build
+    # the broadcast matrix (2.5 MB at 5k×64); the scan side stays distributed
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    nrm = np.sqrt((mat * mat).sum(axis=1))
+    sc = spark.sparkContext
+    b_ids = sc.broadcast(ids)
+    b_mat = sc.broadcast(mat)
+    b_nrm = sc.broadcast(nrm)
+
+    def _block(batches):
+        import pandas as pd
+
+        B, Bn, Bi = b_mat.value, b_nrm.value, b_ids.value
+        for pdf in batches:
+            A = np.array(list(pdf["embedding"]), dtype=np.float64)
+            An = np.sqrt((A * A).sum(axis=1))
+            Ai = pdf["vec_id"].to_numpy()
+            cos = (A @ B.T) / np.outer(An, Bn)
+            ii, jj = np.where(cos >= 0.45)
+            keep = Ai[ii] < Bi[jj]
+            yield pd.DataFrame(
+                {
+                    "vec_a": Ai[ii][keep],
+                    "vec_b": Bi[jj][keep],
+                    "cos_r": np.round(cos[ii, jj][keep], 4),
+                }
+            )
+
+    return e.select("vec_id", "embedding").mapInPandas(
+        _block, schema="vec_a long, vec_b long, cos_r double"
     )
 
 

@@ -33,9 +33,21 @@ _WORDS = (
 _PARAM_NAMES = ("id", "page", "redirect", "_tok", "something", "q", "ref")
 
 _SCALES = {
-    "tiny": dict(n_pages=200, n_hosts=6, hot_budget=5, cold_budget=50),
-    "small": dict(n_pages=5000, n_hosts=20, hot_budget=40, cold_budget=800),
-    "bench": dict(n_pages=200_000, n_hosts=50, hot_budget=4000, cold_budget=20000),
+    "tiny": dict(
+        n_pages=200, n_hosts=6, hot_budget=5, cold_budget=50,
+        text_spans=(1, 4), text_words=(4, 14),
+    ),
+    "small": dict(
+        n_pages=5000, n_hosts=20, hot_budget=40, cold_budget=800,
+        text_spans=(1, 4), text_words=(4, 14),
+    ),
+    # bench bodies are deliberately parse-heavy (~4-6 KB) so the fetch/parse
+    # stage carries real CPU work — the scaling-efficiency measurement needs
+    # parallel work to dominate the driver's serial floor
+    "bench": dict(
+        n_pages=200_000, n_hosts=50, hot_budget=20000, cold_budget=20000,
+        text_spans=(3, 8), text_words=(60, 160),
+    ),
 }
 
 
@@ -168,13 +180,12 @@ def generate_site(scale: str = "tiny", seed: int = 42) -> SiteFixture:
 
     # --- spans (interleaved text + media + links) ----------------------
     n = len(pages)
+    t_spans, t_words = params["text_spans"], params["text_words"]
     for p in pages:
         spans_raw: list[tuple[str, str | None, str | None]] = []
-        for _ in range(rng.randint(1, 4)):
-            nw = rng.randint(4, 14)
-            spans_raw.append(
-                ("text", " ".join(rng.choice(_WORDS) for _ in range(nw)), None)
-            )
+        for _ in range(rng.randint(*t_spans)):
+            nw = rng.randint(*t_words)
+            spans_raw.append(("text", " ".join(rng.choices(_WORDS, k=nw)), None))
         for j in range(rng.randint(0, 3)):
             spans_raw.append(
                 ("media", None, f"img://{p.host}/m{rng.randrange(10**6)}.png")
