@@ -220,6 +220,22 @@ class CrawlEngine:
 
     # ------------------------------------------------------------------
     def _run_wave(self, wave: int, manifest: Manifest, pages_slim: DataFrame):
+        """One wave as two materialized stages + shallow projections.
+
+        Stage 1 (``edges`` scratch table): normalize -> seen-split (Bloom
+        prefilter + exact joins) -> per-unit edge ranking -> robots gate ->
+        politeness eligibility, joined back onto every edge. Stage 2
+        (``fetchpage`` scratch table): eligible units x pages equi-join +
+        gates + span parse, host-salt repartitioned. Every output table
+        (fetchlog/visited/bloom/results/frontier) is then a flat projection
+        of the two scratch parquet tables.
+
+        Materializing the deep DAG exactly once keeps the driver out of the
+        picture: without this, each of the ~8 actions re-analyzes the full
+        lineage (Catalyst planning is serial driver time) and the wave's
+        wall clock is dominated by plan depth rather than data. This is
+        also the Iceberg-native shape: scratch stages are ordinary tables.
+        """
         spark, store, cfg = self.spark, self.store, self.config
         frontier = store.read(spark, "frontier", wave)
         m = dict(wave=wave)
@@ -235,71 +251,116 @@ class CrawlEngine:
             F.col("_p.base_scheme").alias("base_scheme"),
             F.col("_p.base_host").alias("base_host"),
         )
-        norm.persist()
-        if cfg.collect_metrics:
-            with self._phase("norm+count"):
-                null_counts = {
-                    bool(r["_bad"]): r["count"]
-                    for r in norm.groupBy(F.col("url_norm").isNull().alias("_bad"))
-                    .count()
-                    .collect()
-                }
-            m["n_frontier"] = sum(null_counts.values())
-            m["n_malformed"] = null_counts.get(True, 0)
-            if m["n_frontier"] == 0:
-                norm.unpersist()
-                return None
-        elif norm.isEmpty():
-            norm.unpersist()
-            return None
-        edges = norm.filter(F.col("url_norm").isNotNull())
+        edges_all = norm.filter(F.col("url_norm").isNotNull())
 
-        # --- seen-set split (Bloom prefilter + exact joins) -------------
         visited = store.read_visited(spark, manifest)
         bloom_shards = (
             store.read(spark, "bloom", manifest.last_wave)
             if self.bloom is not None and manifest.last_wave >= 0
             else (self.bloom.empty(spark) if self.bloom is not None else None)
         )
-        fresh, cached = split_seen(edges, visited, self.bloom, bloom_shards)
+        fresh, cached = split_seen(edges_all, visited, self.bloom, bloom_shards)
 
-        cached_rows = cached.select(
-            F.lit(wave).alias("wave"),
-            "linked_from",
-            "url_norm",
-            F.col("status").cast("int").alias("status"),
-            F.lit(True).alias("cached"),
-            F.lit("seen").alias("row_kind"),
-            F.lit(None).cast(SPANS_TYPE).alias("spans"),
-        )
-
-        # --- fetch units: first edge wins (serialized-reference order) --
+        # rank edges within their unit; first edge wins the fetch
         we = Window.partitionBy("url_norm").orderBy("priority", "linked_from", "url")
         wu = Window.partitionBy("url_norm")
         fresh = fresh.withColumn("_edge_rank", F.row_number().over(we)).withColumn(
             "unit_priority", F.min("priority").over(wu)
         )
-        fresh.persist()
-
-        units = fresh.filter(F.col("_edge_rank") == 1)
-        units = with_robots_denied(units, self._rules)
-        units.persist()
-
+        units = with_robots_denied(fresh.filter(F.col("_edge_rank") == 1), self._rules)
         polite = apply_politeness(
             units.filter(~F.col("_robots_denied")),
             self._budgets,
             cfg.politeness_budget,
             cfg.politeness_salts,
         )
-        polite.persist()
-        eligible = polite.filter(F.col("_eligible")).drop("_eligible", "_robots_denied")
-        deferred_units = polite.filter(~F.col("_eligible"))
-        deferred_edges = fresh.join(
-            deferred_units.select("url_norm"), "url_norm", "left_semi"
-        ).select("linked_from", "url", "priority")
+        unit_flags = units.select("url_norm", "_robots_denied").join(
+            polite.select("url_norm", "_eligible"), "url_norm", "left"
+        )
+        fresh_flagged = fresh.join(unit_flags, "url_norm", "left").select(
+            "linked_from",
+            "url",
+            "priority",
+            "url_norm",
+            "scheme",
+            "host",
+            "path",
+            "base_scheme",
+            "base_host",
+            "_edge_rank",
+            "unit_priority",
+            F.coalesce("_robots_denied", F.lit(False)).alias("robots_denied"),
+            F.coalesce("_eligible", F.lit(False)).alias("eligible"),
+            F.lit("fresh").alias("edge_kind"),
+            F.lit(None).cast("int").alias("seen_status"),
+        )
+        cached_flagged = cached.select(
+            "linked_from",
+            "url",
+            "priority",
+            "url_norm",
+            "scheme",
+            "host",
+            "path",
+            "base_scheme",
+            "base_host",
+            F.lit(0).alias("_edge_rank"),
+            F.col("priority").alias("unit_priority"),
+            F.lit(False).alias("robots_denied"),
+            F.lit(False).alias("eligible"),
+            F.lit("seen").alias("edge_kind"),
+            F.col("status").cast("int").alias("seen_status"),
+        )
+        with self._phase("stage-edges"):
+            store.write(fresh_flagged.unionByName(cached_flagged), "edges", wave)
+        edges = store.read(spark, "edges", wave)
+        if cfg.collect_metrics:
+            with self._phase("edge-counts"):
+                kind_counts = {
+                    (r["edge_kind"], r["is_first"], r["robots_denied"], r["eligible"]): r["count"]
+                    for r in edges.groupBy(
+                        "edge_kind",
+                        (F.col("_edge_rank") == 1).alias("is_first"),
+                        "robots_denied",
+                        "eligible",
+                    )
+                    .count()
+                    .collect()
+                }
+            m["n_cached"] = sum(
+                v for (kind, _, _, _), v in kind_counts.items() if kind == "seen"
+            )
+            n_fresh_units = sum(
+                v for (kind, r1, _, _), v in kind_counts.items() if kind == "fresh" and r1
+            )
+            m["n_units"] = n_fresh_units
+            m["n_robots_denied"] = sum(
+                v
+                for (kind, r1, rd, _), v in kind_counts.items()
+                if kind == "fresh" and r1 and rd
+            )
+            n_eligible = sum(
+                v
+                for (kind, r1, rd, el), v in kind_counts.items()
+                if kind == "fresh" and r1 and el
+            )
+            m["n_deferred"] = n_fresh_units - m["n_robots_denied"] - n_eligible
+            # frontier totals (malformed = frontier minus all surviving edges)
+            n_edges = sum(kind_counts.values())
+            with self._phase("frontier-count"):
+                m["n_frontier"] = frontier.count()
+            m["n_malformed"] = m["n_frontier"] - n_edges
+            if m["n_frontier"] == 0:
+                return None
+        elif not store.has("edges", wave) or edges.isEmpty():
+            if frontier.isEmpty():
+                return None
 
-        # --- fetch (A1/H4) + gates (C1/C2) -------------------------------
-        fetched = eligible.join(pages_slim, "url_norm", "left")
+        # --- stage 2: fetch (A1/H4) + gates (C1/C2) + parse (D1) ----------
+        eligible_units = edges.filter(
+            (F.col("edge_kind") == "fresh") & (F.col("_edge_rank") == 1) & F.col("eligible")
+        )
+        fetched = eligible_units.join(pages_slim, "url_norm", "left")
         fetched = fetched.withColumn(
             "outcome",
             F.when(F.col("page_status").isNull(), "miss")
@@ -313,18 +374,41 @@ class CrawlEngine:
             )
             .otherwise("ok"),
         )
-        # host-hash salted repartition for the parse/fetch stage (G2):
-        # in production this stage is the mapInPandas HTTP fetch; the salt
-        # bounds any one host's share of a task without breaking batching.
+        # host-hash salted repartition for the fetch/parse stage (G2): in
+        # production this is the mapInPandas HTTP fetch; the salt keeps one
+        # mega-host from serializing a wave while co-locating same-host
+        # batches for connection reuse
         fetched = fetched.repartition(
             F.pmod(F.xxhash64("host", "url_norm"), F.lit(64)).cast("int")
         )
-        fetched.persist()
+        fetched = fetched.withColumn(
+            "spans",
+            F.when(F.col("outcome") == "ok", parse_spans_udf("body")).otherwise(
+                F.lit(None).cast(SPANS_TYPE)
+            ),
+        ).withColumn("partition_id", F.spark_partition_id())
+        with self._phase("stage-fetch"):
+            store.write(
+                fetched.select(
+                    "url_norm",
+                    "linked_from",
+                    "url",
+                    "unit_priority",
+                    "host",
+                    "path",
+                    "outcome",
+                    F.col("page_status").cast("int").alias("page_status"),
+                    "base_scheme",
+                    "base_host",
+                    "spans",
+                    "partition_id",
+                ),
+                "fetchpage",
+                wave,
+            )
+        fetchpage = store.read(spark, "fetchpage", wave)
 
-        # fetch attempt log — the crawl-ordering contract surface; carries
-        # the physical partition id for per-partition lineage (A5/north_rule).
-        # robots-denied and deferred units ride along with their own outcome
-        # values so ONE read-back yields every unit-level counter of the wave.
+        # --- flat projections ---------------------------------------------
         log_cols = lambda df, outcome_col, pid_col: df.select(  # noqa: E731
             F.lit(wave).alias("wave"),
             "url_norm",
@@ -333,23 +417,35 @@ class CrawlEngine:
             outcome_col.alias("outcome"),
             pid_col.alias("partition_id"),
         )
-        with self._phase("fetch+log-write"):
+        with self._phase("fetchlog"):
             store.write(
-                log_cols(fetched, F.col("outcome"), F.spark_partition_id())
+                log_cols(fetchpage, F.col("outcome"), F.col("partition_id"))
                 .unionByName(
                     log_cols(
-                        units.filter(F.col("_robots_denied")),
+                        edges.filter(
+                            (F.col("edge_kind") == "fresh")
+                            & (F.col("_edge_rank") == 1)
+                            & F.col("robots_denied")
+                        ),
                         F.lit("robots_denied"),
                         F.lit(-1),
                     )
                 )
                 .unionByName(
-                    log_cols(deferred_units, F.lit("deferred"), F.lit(-1))
+                    log_cols(
+                        edges.filter(
+                            (F.col("edge_kind") == "fresh")
+                            & (F.col("_edge_rank") == 1)
+                            & ~F.col("robots_denied")
+                            & ~F.col("eligible")
+                        ),
+                        F.lit("deferred"),
+                        F.lit(-1),
+                    )
                 ),
                 "fetchlog",
                 wave,
             )
-        # counters + lineage in one pass over the (tiny) written log
         lineage: dict[int, int] = {}
         if cfg.collect_metrics:
             outcome_counts: dict[str, int] = {}
@@ -360,71 +456,83 @@ class CrawlEngine:
                     .count()
                     .collect()
                 ):
-                    outcome_counts[r["outcome"]] = outcome_counts.get(r["outcome"], 0) + r["count"]
-                    if r["partition_id"] >= 0:
-                        lineage[r["partition_id"]] = lineage.get(r["partition_id"], 0) + r["count"]
-            m["n_robots_denied"] = outcome_counts.pop("robots_denied", 0)
-            m["n_deferred"] = outcome_counts.pop("deferred", 0)
+                    if r["outcome"] in ("robots_denied", "deferred"):
+                        continue
+                    outcome_counts[r["outcome"]] = (
+                        outcome_counts.get(r["outcome"], 0) + r["count"]
+                    )
+                    lineage[r["partition_id"]] = (
+                        lineage.get(r["partition_id"], 0) + r["count"]
+                    )
             m["n_fetched"] = sum(outcome_counts.values())
-            m["n_units"] = m["n_fetched"] + m["n_robots_denied"] + m["n_deferred"]
             m["n_miss"] = outcome_counts.get("miss", 0)
             m["n_not_allowed"] = outcome_counts.get("not_allowed", 0)
             m["n_too_large"] = outcome_counts.get("too_large", 0)
             m["n_ok"] = outcome_counts.get("ok", 0)
 
-        ok = (
-            fetched.filter(F.col("outcome") == "ok")
-            .withColumn("spans", parse_spans_udf("body"))
-            .drop("body")
-        )
-        ok.persist()
+        ok = fetchpage.filter(F.col("outcome") == "ok")
 
-        # --- visited append + Bloom insert -------------------------------
-        visited_new = ok.select(
-            "url_norm",
-            F.col("page_status").cast("int").alias("status"),
-            F.lit(wave).alias("wave"),
-        )
+        # --- visited append + Bloom insert ---------------------------------
         with self._phase("visited-write"):
-            store.write(visited_new, "visited", wave)
+            store.write(
+                ok.select(
+                    "url_norm",
+                    F.col("page_status").alias("status"),
+                    F.lit(wave).alias("wave"),
+                ),
+                "visited",
+                wave,
+            )
         with self._phase("bloom-update"):
             if self.bloom is not None:
-                new_shards = self.bloom.updated(
-                    store.read(spark, "visited", wave), bloom_shards
+                store.write(
+                    self.bloom.updated(
+                        store.read(spark, "visited", wave), bloom_shards
+                    ),
+                    "bloom",
+                    wave,
                 )
-                store.write(new_shards, "bloom", wave)
 
-        # --- handler rows (A4) -------------------------------------------
+        # --- handler rows (A4) ----------------------------------------------
         results_first = ok.select(
             F.lit(wave).alias("wave"),
             "linked_from",
             "url_norm",
-            F.col("page_status").cast("int").alias("status"),
+            F.col("page_status").alias("status"),
             F.lit(False).alias("cached"),
             F.lit("fetched").alias("row_kind"),
             "spans",
         )
         results_others = (
-            fresh.filter(F.col("_edge_rank") > 1)
+            edges.filter((F.col("edge_kind") == "fresh") & (F.col("_edge_rank") > 1))
             .join(ok.select("url_norm", "page_status"), "url_norm", "inner")
             .select(
                 F.lit(wave).alias("wave"),
                 "linked_from",
                 "url_norm",
-                F.col("page_status").cast("int").alias("status"),
+                F.col("page_status").alias("status"),
                 F.lit(True).alias("cached"),
                 F.lit("dup_edge").alias("row_kind"),
                 F.lit(None).cast(SPANS_TYPE).alias("spans"),
             )
         )
+        results_seen = edges.filter(F.col("edge_kind") == "seen").select(
+            F.lit(wave).alias("wave"),
+            "linked_from",
+            "url_norm",
+            F.col("seen_status").alias("status"),
+            F.lit(True).alias("cached"),
+            F.lit("seen").alias("row_kind"),
+            F.lit(None).cast(SPANS_TYPE).alias("spans"),
+        )
         with self._phase("results-write"):
             store.write(
-                results_first.unionByName(results_others).unionByName(cached_rows),
+                results_first.unionByName(results_others).unionByName(results_seen),
                 "results",
                 wave,
-        )
+            )
 
-        # --- traversal → next frontier (D1/D2/C3/C4/C5/C6) ----------------
+        # --- traversal -> next frontier (D1/D2/C3/C4/C5/C6) ------------------
         trav = ok.filter(
             (F.col("page_status") == 200)
             & ~path_forbidden_expr(F.col("path"), cfg.forbidden_paths)
@@ -476,6 +584,9 @@ class CrawlEngine:
             F.col("_resolved").alias("url"),
             F.col("unit_priority").alias("priority"),
         )
+        deferred_edges = edges.filter(
+            (F.col("edge_kind") == "fresh") & ~F.col("eligible") & ~F.col("robots_denied")
+        ).select("linked_from", "url", "priority")
         frontier_next = deferred_edges.withColumn(
             "deferred", F.lit(True)
         ).unionByName(new_edges.withColumn("deferred", F.lit(False)))
@@ -490,19 +601,9 @@ class CrawlEngine:
                 .collect()
             }
             m["n_new_links"] = next_counts.get(False, 0)
-            m["n_cached"] = {
-                r["row_kind"]: r["count"]
-                for r in store.read(spark, "results", wave)
-                .groupBy("row_kind")
-                .count()
-                .collect()
-            }.get("seen", 0)
 
-        # --- metrics + per-partition lineage (A5) --------------------------
+        # --- metrics + per-partition lineage (A5) ----------------------------
         store.write_metrics(
             wave, {**m, "lineage": {str(k): int(v) for k, v in lineage.items()}}
         )
-
-        for df in (norm, fresh, units, polite, fetched, ok):
-            df.unpersist()
         return m

@@ -46,6 +46,12 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
     )
+    evlog = os.environ.get("SPARK_GRAFT_EVENTLOG")
+    if evlog:
+        os.makedirs(evlog, exist_ok=True)
+        builder = builder.config("spark.eventLog.enabled", "true").config(
+            "spark.eventLog.dir", f"file://{evlog}"
+        )
     for k, v in (extra or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

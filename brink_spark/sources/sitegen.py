@@ -48,6 +48,12 @@ _SCALES = {
         n_pages=200_000, n_hosts=50, hot_budget=20000, cold_budget=20000,
         text_spans=(3, 8), text_words=(60, 160),
     ),
+    # 4x bench: the second point of the scaling-vs-workload-size study
+    # (per-wave serial cost is constant, so efficiency grows with wave size)
+    "xbench": dict(
+        n_pages=800_000, n_hosts=50, hot_budget=80000, cold_budget=80000,
+        text_spans=(3, 8), text_words=(60, 160),
+    ),
 }
 
 
@@ -254,6 +260,65 @@ def generate_site(scale: str = "tiny", seed: int = 42) -> SiteFixture:
 
 # ---------------------------------------------------------------------------
 # Spark materialization
+
+
+def pages_to_parquet(fixture: SiteFixture, path: str, rows_per_file: int = 100_000):
+    """Write the pages table directly with pyarrow (multi-file dir layout).
+
+    For large fixtures this avoids shipping the whole corpus through the
+    Spark driver as one giant pickled local collection; Spark then reads
+    the directory like any other parquet table."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    span_type = pa.list_(
+        pa.struct(
+            [
+                ("kind", pa.string()),
+                ("text", pa.string()),
+                ("media_ref", pa.string()),
+                ("offset", pa.int32()),
+            ]
+        )
+    )
+    schema = pa.schema(
+        [
+            ("url_norm", pa.string()),
+            ("url", pa.string()),
+            ("host", pa.string()),
+            ("scheme", pa.string()),
+            ("status", pa.int32()),
+            ("content_length", pa.int64()),
+            ("body", pa.string()),
+            ("spans", span_type),
+        ]
+    )
+    pages = fixture.pages
+    for i in range(0, len(pages), rows_per_file):
+        chunk = pages[i : i + rows_per_file]
+        table = pa.table(
+            {
+                "url_norm": [p.url_norm for p in chunk],
+                "url": [p.url for p in chunk],
+                "host": [p.host for p in chunk],
+                "scheme": [p.scheme for p in chunk],
+                "status": [p.status for p in chunk],
+                "content_length": [p.content_length for p in chunk],
+                "body": [p.body for p in chunk],
+                "spans": [
+                    [
+                        {"kind": s.kind, "text": s.text, "media_ref": s.media_ref, "offset": s.offset}
+                        for s in p.spans
+                    ]
+                    for p in chunk
+                ],
+            },
+            schema=schema,
+        )
+        pq.write_table(table, os.path.join(path, f"part-{i // rows_per_file:05d}.parquet"))
 
 
 def pages_to_spark(spark, fixture: SiteFixture):

@@ -42,7 +42,20 @@ class Manifest:
 
 
 class CrawlStore:
-    TABLES = ("frontier", "visited", "results", "metrics", "bloom", "fetchlog")
+    # edges/fetchpage are the per-wave materialized stage tables (scratch):
+    # deep DAGs are evaluated exactly once into them and every output table
+    # is a flat projection — keeps Catalyst planning out of the wave's
+    # critical path and doubles as wave-level debuggability
+    TABLES = (
+        "frontier",
+        "visited",
+        "results",
+        "metrics",
+        "bloom",
+        "fetchlog",
+        "edges",
+        "fetchpage",
+    )
 
     def __init__(self, root: str):
         self.root = root

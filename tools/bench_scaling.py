@@ -30,7 +30,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-WORK = "/dev/shm/brink_scaling"
+SCALE = os.environ.get("BRINK_SCALE", "bench")
+WORK = f"/dev/shm/brink_scaling_{SCALE}"
 TEMPLATE = f"{WORK}/store_template"
 PAGES = f"{WORK}/pages.parquet"
 ROBOTS = f"{WORK}/robots.parquet"
@@ -49,13 +50,13 @@ def prepare() -> None:
 
     from brink_spark.operators.seen import BloomSeenSet
     from brink_spark.session import get_spark
-    from brink_spark.sources.sitegen import generate_site, pages_to_spark, robots_to_spark
+    from brink_spark.sources.sitegen import generate_site, robots_to_spark
     from brink_spark.storage import CrawlStore, Manifest
 
     shutil.rmtree(WORK, ignore_errors=True)
     os.makedirs(WORK)
     t0 = time.time()
-    fx = generate_site("bench", 42)
+    fx = generate_site(SCALE, 42)
     print(f"# fixture: {len(fx.pages)} pages in {time.time()-t0:.1f}s", file=sys.stderr)
 
     spark = get_spark(
@@ -65,8 +66,9 @@ def prepare() -> None:
             "spark.local.dir": f"{WORK}/spark-local-prep",
         },
     )
-    pages = pages_to_spark(spark, fx)
-    pages.repartition(64).write.mode("overwrite").parquet(PAGES)
+    from brink_spark.sources.sitegen import pages_to_parquet
+
+    pages_to_parquet(fx, PAGES, rows_per_file=len(fx.pages) // 64 + 1)
     robots_to_spark(spark, fx).write.mode("overwrite").parquet(ROBOTS)
     with open(CONFIG, "w") as fh:
         json.dump(asdict(fx.config), fh)
@@ -126,15 +128,19 @@ def run_level(cpus: int) -> dict:
     shutil.rmtree(store_dir, ignore_errors=True)
     shutil.copytree(TEMPLATE, store_dir)
 
+    extra = {
+        "spark.ui.showConsoleProgress": "false",
+        # tmpfs for shuffle spill + store: the sandbox's single vda disk
+        # serializes concurrent writeback and would masquerade as an
+        # Amdahl floor; a real cluster has per-executor local NVMe
+        "spark.local.dir": f"{WORK}/spark-local-{cpus}",
+    }
+    if os.environ.get("BRINK_AQE") == "0":
+        extra["spark.sql.adaptive.enabled"] = "false"
     spark = get_spark(
-        f"local[{cpus}]", app_name=f"scaling_{cpus}", shuffle_partitions=64,
-        extra={
-            "spark.ui.showConsoleProgress": "false",
-            # tmpfs for shuffle spill + store: the sandbox's single vda disk
-            # serializes concurrent writeback and would masquerade as an
-            # Amdahl floor; a real cluster has per-executor local NVMe
-            "spark.local.dir": f"{WORK}/spark-local-{cpus}",
-        },
+        f"local[{cpus}]", app_name=f"scaling_{cpus}",
+        shuffle_partitions=int(os.environ.get("BRINK_SHUFFLE", "64")),
+        extra=extra,
     )
     from pyspark.sql import functions as F
 
@@ -226,7 +232,7 @@ def main() -> None:
         (hi // lo) * results[lo]["urls_per_sec"]
     )
     report = {
-        "workload": "one steady-state crawl wave, bench fixture (200k pages, hot-host skew)",
+        "workload": f"one steady-state crawl wave, {SCALE} fixture, hot-host skew",
         "levels": results,
         "scaling_efficiency": round(eff, 3),
         "target": 0.8,
@@ -234,7 +240,7 @@ def main() -> None:
     }
     print(json.dumps(report))
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/scaling.json", "w") as fh:
+    with open(f"BENCH/scaling_{SCALE}.json", "w") as fh:
         json.dump(report, fh, indent=2)
 
 
