@@ -209,6 +209,62 @@ class CrawlEngine:
         summary.wall_seconds = time.time() - t0
         return summary
 
+    def fetch_stage(self, wave: int, edges: DataFrame, pages_slim: DataFrame) -> None:
+        """The fetch/parse stage (A1/H4 + C1/C2 gates + D1 parse): eligible
+        units equi-joined against pages, outcome-gated, host-salt
+        repartitioned, spans parsed, written as the ``fetchpage`` scratch
+        table. In production this is the mapInPandas HTTP fetch; the salt
+        keeps one mega-host from serializing a wave while co-locating
+        same-host batches for connection reuse. Exposed standalone because
+        fetch throughput is the north-rule scaling metric."""
+        cfg = self.config
+        eligible_units = edges.filter(
+            (F.col("edge_kind") == "fresh")
+            & (F.col("_edge_rank") == 1)
+            & F.col("eligible")
+        )
+        fetched = eligible_units.join(pages_slim, "url_norm", "left")
+        fetched = fetched.withColumn(
+            "outcome",
+            F.when(F.col("page_status").isNull(), "miss")
+            .when(
+                ~domain_allowed(F.col("scheme"), F.col("host"), self.allowed_keys),
+                "not_allowed",
+            )
+            .when(
+                F.col("content_length") > cfg.effective_max_content_length,
+                "too_large",
+            )
+            .otherwise("ok"),
+        )
+        fetched = fetched.repartition(
+            F.pmod(F.xxhash64("host", "url_norm"), F.lit(64)).cast("int")
+        )
+        fetched = fetched.withColumn(
+            "spans",
+            F.when(F.col("outcome") == "ok", parse_spans_udf("body")).otherwise(
+                F.lit(None).cast(SPANS_TYPE)
+            ),
+        ).withColumn("partition_id", F.spark_partition_id())
+        self.store.write(
+            fetched.select(
+                "url_norm",
+                "linked_from",
+                "url",
+                "unit_priority",
+                "host",
+                "path",
+                "outcome",
+                F.col("page_status").cast("int").alias("page_status"),
+                "base_scheme",
+                "base_host",
+                "spans",
+                "partition_id",
+            ),
+            "fetchpage",
+            wave,
+        )
+
     @contextmanager
     def _phase(self, name: str):
         if os.environ.get("BRINK_TIMING"):
@@ -357,55 +413,8 @@ class CrawlEngine:
                 return None
 
         # --- stage 2: fetch (A1/H4) + gates (C1/C2) + parse (D1) ----------
-        eligible_units = edges.filter(
-            (F.col("edge_kind") == "fresh") & (F.col("_edge_rank") == 1) & F.col("eligible")
-        )
-        fetched = eligible_units.join(pages_slim, "url_norm", "left")
-        fetched = fetched.withColumn(
-            "outcome",
-            F.when(F.col("page_status").isNull(), "miss")
-            .when(
-                ~domain_allowed(F.col("scheme"), F.col("host"), self.allowed_keys),
-                "not_allowed",
-            )
-            .when(
-                F.col("content_length") > cfg.effective_max_content_length,
-                "too_large",
-            )
-            .otherwise("ok"),
-        )
-        # host-hash salted repartition for the fetch/parse stage (G2): in
-        # production this is the mapInPandas HTTP fetch; the salt keeps one
-        # mega-host from serializing a wave while co-locating same-host
-        # batches for connection reuse
-        fetched = fetched.repartition(
-            F.pmod(F.xxhash64("host", "url_norm"), F.lit(64)).cast("int")
-        )
-        fetched = fetched.withColumn(
-            "spans",
-            F.when(F.col("outcome") == "ok", parse_spans_udf("body")).otherwise(
-                F.lit(None).cast(SPANS_TYPE)
-            ),
-        ).withColumn("partition_id", F.spark_partition_id())
         with self._phase("stage-fetch"):
-            store.write(
-                fetched.select(
-                    "url_norm",
-                    "linked_from",
-                    "url",
-                    "unit_priority",
-                    "host",
-                    "path",
-                    "outcome",
-                    F.col("page_status").cast("int").alias("page_status"),
-                    "base_scheme",
-                    "base_host",
-                    "spans",
-                    "partition_id",
-                ),
-                "fetchpage",
-                wave,
-            )
+            self.fetch_stage(wave, edges, pages_slim)
         fetchpage = store.read(spark, "fetchpage", wave)
 
         # --- flat projections ---------------------------------------------

@@ -193,9 +193,70 @@ def run_level(cpus: int) -> dict:
     return out
 
 
+def run_fetch_level(cpus: int) -> dict:
+    """Time ONLY the fetch/parse stage (the north-rule metric is
+    *fetch*-throughput scaling) over a prepared edges table — the
+    embarrassingly-parallel part of the wave, free of the loop's
+    commit/barrier orchestration."""
+    from brink_spark.config import CrawlConfig
+    from brink_spark.plans.crawl import CrawlEngine
+    from brink_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    with open(CONFIG) as fh:
+        raw = json.load(fh)
+    for k in (
+        "allowed_domains", "ignore_get_parameters", "forbidden_paths",
+        "headers", "cookies", "session_cookie_names",
+    ):
+        raw[k] = tuple(tuple(x) if isinstance(x, list) else x for x in raw[k])
+    config = CrawlConfig(**raw).with_(collect_metrics=False)
+
+    store_dir = f"{WORK}/fetchstore_{cpus}"
+    shutil.rmtree(store_dir, ignore_errors=True)
+    os.makedirs(store_dir)
+
+    spark = get_spark(
+        f"local[{cpus}]", app_name=f"fetch_scaling_{cpus}", shuffle_partitions=64,
+        extra={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.local.dir": f"{WORK}/spark-local-f{cpus}",
+        },
+    )
+    engine = CrawlEngine(
+        spark, config, store_dir,
+        pages=spark.read.parquet(PAGES),
+        robots=spark.read.parquet(ROBOTS),
+    )
+    pages_slim = engine.pages.select(
+        "url_norm", F.col("status").alias("page_status"), "content_length", "body"
+    )
+    edges = spark.read.parquet(f"{TEMPLATE}/edges_stage")
+    # warmup: same stage shape on a small slice (worker pool + codegen)
+    engine.fetch_stage(99, edges.limit(2000), pages_slim)
+    t0 = time.time()
+    engine.fetch_stage(1, edges, pages_slim)
+    wall = time.time() - t0
+    flog = spark.read.parquet(f"{store_dir}/fetchpage/wave=1")
+    n = flog.count()
+    n_ok = flog.filter(F.col("outcome") == "ok").count()
+    out = {
+        "cpus": cpus,
+        "wall_sec": round(wall, 2),
+        "fetched": n,
+        "ok": n_ok,
+        "urls_per_sec": round(n / wall, 2),
+    }
+    spark.stop()
+    return out
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "run":
         print(json.dumps(run_level(int(sys.argv[2]))))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "fetch":
+        print(json.dumps(run_fetch_level(int(sys.argv[2]))))
         return
 
     if not (len(sys.argv) > 1 and sys.argv[1] == "report-only"):
