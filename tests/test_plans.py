@@ -1,0 +1,106 @@
+"""Physical-plan quality gates (SURVEY.md §4.2): predicate pushdown reaches
+the parquet scan, column pruning limits ReadSchema, small dims broadcast,
+and the hot path stays inside whole-stage codegen — the properties that
+make the same plan survive a 100x scale-up."""
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+def _formatted(df):
+    jdf = df._jdf
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return jdf.queryExecution().explainString(mode)
+
+
+def _codegen(df):
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "simple"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    from brink_spark.queries.relational import q_pricing_summary
+
+    plan = _formatted(q_pricing_summary(spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning_limits_read_schema(spark):
+    from brink_spark.queries.relational import q_pricing_summary
+
+    plan = _formatted(q_pricing_summary(spark, SF))
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    # only the 6 referenced lineitem columns are read — not all 11
+    assert "l_quantity" in read_schema and "l_returnflag" in read_schema
+    assert "l_orderkey" not in read_schema
+    assert "l_partkey" not in read_schema
+
+
+def test_small_dims_broadcast(spark):
+    from brink_spark.queries.relational import q_revenue_by_nation
+
+    plan = _formatted(q_revenue_by_nation(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # no dim should fall back to SMJ
+
+
+def test_hot_path_in_whole_stage_codegen(spark):
+    from brink_spark.queries.relational import q_pricing_summary
+
+    df = q_pricing_summary(spark, SF)
+    df.collect()  # AQE reveals codegen spans only in the executed plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # '*(n)' prefixes mark operators inside WholeStageCodegen stage n
+    assert "*(1)" in plan or "*(2)" in plan, plan[:500]
+
+
+def test_aggregation_is_partial_before_exchange(spark):
+    """Map-side combine: partial_sum runs below the shuffle (free from
+    groupBy when expressed declaratively — SURVEY.md §4.2)."""
+    from brink_spark.queries.relational import q_pricing_summary
+
+    plan = _codegen(q_pricing_summary(spark, SF))
+    assert "partial_sum" in plan
+    assert plan.index("partial_sum") > plan.index("Exchange")  # below the exchange
+
+
+def test_crawl_link_extraction_is_jvm_native(spark, tiny_fixture):
+    """The link-extraction path (explode + C5/C6 + D2 resolution) must stay
+    native: no Python evaluation nodes besides the two sanctioned Arrow
+    UDFs (normalize, parse)."""
+    from brink_spark.sources.sitegen import pages_to_spark
+
+    pages = pages_to_spark(spark, tiny_fixture)
+    links = (
+        pages.select(
+            "url",
+            F.explode(
+                F.filter("spans", lambda s: s["kind"] == F.lit("link"))
+            ).alias("s"),
+        )
+        .select("url", F.coalesce(F.col("s.text"), F.lit("")).alias("raw"))
+        .filter((F.col("raw") != "javascript:;") & ~F.col("raw").startswith("#"))
+        .withColumn("href", F.expr("trim(BOTH ' ' FROM raw)"))
+        .filter(F.col("href") != "")
+    )
+    plan = _codegen(links)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_anti_join_on_uniform_key(spark):
+    """The seen-set anti join keys on url_norm (uniform hash) — verify the
+    join strategy is a hash-based anti join, not a nested loop."""
+    edges = spark.range(1000).select(
+        F.concat(F.lit("https://h/p"), F.col("id")).alias("url_norm")
+    )
+    visited = spark.range(500).select(
+        F.concat(F.lit("https://h/p"), F.col("id")).alias("url_norm")
+    )
+    plan = _codegen(edges.join(visited, "url_norm", "left_anti"))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
