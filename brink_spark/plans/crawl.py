@@ -42,13 +42,7 @@ from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
-from pyspark.sql.types import (
-    IntegerType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
 from brink_spark.config import CrawlConfig
 from brink_spark.functions.spans import SPANS_TYPE
@@ -71,15 +65,6 @@ FRONTIER_SCHEMA = StructType(
         StructField("priority", IntegerType()),
     ]
 )
-
-METRICS_SCHEMA = StructType(
-    [
-        StructField("wave", IntegerType()),
-        StructField("key", StringType()),
-        StructField("value", LongType()),
-    ]
-)
-
 
 @dataclass
 class CrawlSummary:

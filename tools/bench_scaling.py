@@ -2,13 +2,14 @@
 
 BASELINE.json's north_rule requires ≥0.8 fetch-throughput scaling efficiency
 from N to 4N executors; the sandbox has no cluster, so (per BASELINE.md's
-protocol) we run the identical job at local[8] and local[32] on identical
+protocol) we run the identical job at local[N] and local[4N] on identical
 input and report throughput at both plus
-``efficiency = throughput(local[32]) / (4 × throughput(local[8]))``.
+``efficiency = throughput(local[4N]) / (4 × throughput(local[N]))``.
+Results + level-pair rationale (single-box memory wall): BENCH/BASELINE.md.
 
-The measured job is one steady-state crawl wave over the 'bench' synthetic
-web (200k pages, hot-host skew, seeded politeness budgets): an ~840k-edge
-frontier against a 25%-prefilled visited set + Bloom shards — normalize →
+The measured job is one steady-state crawl wave over the synthetic web
+(BRINK_SCALE ∈ {bench: 200k pages/841k-edge frontier, xbench: 800k/3.35M},
+hot-host skew, seeded politeness budgets): the frontier against a 25%-prefilled visited set + Bloom shards — normalize →
 Bloom probe → anti-join → politeness → fetch-join → parse → visited/bloom/
 results/frontier commits. Setup (fixture generation, store template) is
 excluded from timing; each level copies the same template and runs the
