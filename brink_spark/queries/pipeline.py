@@ -218,7 +218,8 @@ per_bit AS (
   FROM h CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bit) b
   GROUP BY doc_id, b.bit)
 SELECT doc_id,
-       SUM(CASE WHEN score > 0 THEN CAST(POW(2, bit) AS BIGINT) ELSE 0 END) AS simhash16
+       CAST(SUM(CASE WHEN score > 0 THEN CAST(POW(2, bit) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS simhash16
 FROM per_bit GROUP BY doc_id
 """
 
@@ -471,8 +472,8 @@ def q_token_stats_by_lang(spark, sf):
 
 SQL_TOKEN_STATS = """
 SELECT lang, COUNT(*) AS n_docs,
-       SUM(len(string_split(text, ' '))) AS total_tokens,
-       SUM(n_chars) AS total_chars,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        MAX(len(string_split(text, ' '))) AS max_tokens
 FROM documents GROUP BY lang
 """

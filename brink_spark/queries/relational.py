@@ -58,10 +58,12 @@ def q_pricing_summary(spark, sf):
 
 SQL_PRICING = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(ROUND(l_quantity * 100) AS BIGINT))        AS sum_qty_x100,
-       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))   AS sum_base_price_x100,
-       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
-                                                           AS sum_disc_price_x10000,
+       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                                                           AS sum_qty_x100,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                                                           AS sum_base_price_x100,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+            AS BIGINT)                                     AS sum_disc_price_x10000,
        CAST(FLOOR(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) * 1.0 / COUNT(*))
             AS BIGINT)                                     AS avg_qty_x100,
        COUNT(*)                                            AS count_order
@@ -99,8 +101,8 @@ def q_revenue_by_nation(spark, sf):
 
 SQL_REVENUE_NATION = """
 SELECT n_name,
-       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
-           AS revenue_x10000,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+            AS BIGINT) AS revenue_x10000,
        COUNT(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -133,8 +135,8 @@ def q_top_orders(spark, sf):
 
 SQL_TOP_ORDERS = """
 SELECT o_orderkey, o_orderpriority,
-       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
-           AS revenue_x10000
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+            AS BIGINT) AS revenue_x10000
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY o_orderkey, o_orderpriority
@@ -204,7 +206,7 @@ def q_part_supplier_stats(spark, sf):
 SQL_PART_SUPPLIER = """
 SELECT p_brand, COUNT(*) AS n_lines,
        COUNT(DISTINCT l_suppkey) AS n_suppliers,
-       SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS total_qty_x100
+       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS total_qty_x100
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
 """
@@ -234,7 +236,7 @@ def q_events_tumbling(spark, sf):
 SQL_EVENTS_TUMBLING = """
 SELECT CAST(FLOOR(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch, event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS total_value_x100
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_value_x100
 FROM events
 GROUP BY 1, 2
 """
@@ -256,9 +258,7 @@ def q_events_sessionize(spark, sf):
     ).withColumn(
         "session_id",
         F.sum(F.coalesce("new_session", F.lit(1))).over(
-            Window.partitionBy("user_id").orderBy("ts").rowsBetween(
-                Window.unboundedPreceding, 0
-            )
+            w.rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
     return gaps.groupBy("user_id").agg(
@@ -277,10 +277,10 @@ WITH gaps AS (
   FROM events),
 sess AS (
   SELECT user_id,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM gaps)
-SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events
+SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
 FROM sess GROUP BY user_id
 """
 
@@ -296,7 +296,7 @@ def q_events_user_stats(spark, sf):
 
 SQL_EVENTS_USER_STATS = """
 SELECT user_id, event_type, COUNT(*) AS n,
-       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS total_value_x100,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_value_x100,
        CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS last_seen_epoch
 FROM events GROUP BY user_id, event_type
 """
