@@ -55,6 +55,19 @@ class CrawlConfig:
     # --- north_rule scheduler extensions ---
     politeness_budget: int = DEFAULT_POLITENESS_BUDGET  # fetches/host/wave default
     max_waves: int = DEFAULT_MAX_WAVES
+    # --- reference worker-model knobs (crawler.go:53-62), mapped onto the
+    # wave model. worker_count (goroutine count) is a parallelism hint: it
+    # RAISES the fetch-stage partition count floor (never caps it below the
+    # cluster's natural parallelism). url_buffer_size (bounded work queue)
+    # and idle_work_check_interval (poll period for the graceful idle stop)
+    # are accepted-but-no-op: the frontier is an unbounded table, and the
+    # idle check happens exactly once per wave boundary (F2).
+    worker_count: int = 0
+    url_buffer_size: int = 0  # no-op (frontier table is unbounded)
+    idle_work_check_interval: int = 0  # no-op (checked at each wave boundary)
+    # explicit fetch-stage partition count; 0 = derive from
+    # max(shuffle partitions, defaultParallelism, worker_count)
+    fetch_partitions: int = 0
     # --- engine knobs (physical, not semantic) ---
     use_bloom: bool = True
     bloom_shards: int = 16
@@ -104,18 +117,29 @@ _TOML_KEYS = {
     "ignore-get-parameters": "ignore_get_parameters",
     "fuzzy-get-parameter-checks": "fuzzy_get_parameter_checks",
     "ignore-path-visits": "forbidden_paths",
+    # cmd/example-conf.toml spells this key 'forbidden-paths', which the
+    # reference's own parser (tag 'ignore-path-visits') silently drops; we
+    # accept both spellings rather than reproduce the silent drop.
+    "forbidden-paths": "forbidden_paths",
     "max-content-length": "max_content_length",
     "auth-type": "auth_type",
     "user": "user",
     "pass": "password",
     "session-cookie-names": "session_cookie_names",
+    "url-buffer-size": "url_buffer_size",
+    "worker-count": "worker_count",
+    "idle-work-check-interval": "idle_work_check_interval",
     "politeness-budget": "politeness_budget",
     "max-waves": "max_waves",
+    "fetch-partitions": "fetch_partitions",
 }
 
 
 def from_toml(path: str) -> CrawlConfig:
-    """NewCrawlerFromToml equivalent (factory.go:134-147), driver-side."""
+    """NewCrawlerFromToml equivalent (factory.go:134-147), driver-side.
+    Unknown top-level keys warn instead of being dropped silently."""
+    import warnings
+
     with open(path, "rb") as fh:
         raw = tomllib.load(fh)
     kwargs: dict = {}
@@ -126,17 +150,24 @@ def from_toml(path: str) -> CrawlConfig:
                 val = tuple(val)
             kwargs[attr] = val
     # [headers] table (crawler.go:80) and [cookies.<name>] sections
-    # (crawler.go:76-78; cmd/example-conf.toml) — value-only cookie model
+    # (crawler.go:76-78; cmd/example-conf.toml uses [[cookies.<name>]]
+    # array-of-tables) — value-only cookie model
     if isinstance(raw.get("headers"), dict):
         kwargs["headers"] = tuple(raw["headers"].items())
     if isinstance(raw.get("cookies"), dict):
         cookies = []
         for name, c in raw["cookies"].items():
+            if isinstance(c, list):  # [[cookies.Name]] array-of-tables form
+                c = c[0] if c else {}
             if isinstance(c, dict):
-                cookies.append((c.get("name", name), str(c.get("value", ""))))
+                lc = {k.lower(): v for k, v in c.items()}
+                cookies.append((str(lc.get("name", name)), str(lc.get("value", ""))))
             else:
                 cookies.append((name, str(c)))
         kwargs["cookies"] = tuple(cookies)
+    unknown = set(raw) - set(_TOML_KEYS) - {"headers", "cookies"}
+    if unknown:
+        warnings.warn(f"unknown TOML config keys ignored: {sorted(unknown)}")
     if "entrypoint" not in kwargs:
         raise ValueError("config missing 'entrypoint'")
     return CrawlConfig(**kwargs)

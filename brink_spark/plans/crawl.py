@@ -111,6 +111,20 @@ class CrawlEngine:
         self._rules = robots_rules_per_host(robots) if robots is not None else None
         self._budgets = budget_per_host(robots, config.politeness_budget)
 
+    def fetch_partition_count(self) -> int:
+        """Fetch-stage salt modulus. Never a fixed constant (a lit(64) here
+        caps parallelism on a 4N-executor cluster): explicit config override,
+        else the max of the session's shuffle partitions, the cluster's
+        default parallelism, and the reference worker-count hint
+        (crawler.go:57) — so the modulus scales with the cluster."""
+        if self.config.fetch_partitions > 0:
+            return self.config.fetch_partitions
+        return max(
+            int(self.spark.conf.get("spark.sql.shuffle.partitions", "200")),
+            self.spark.sparkContext.defaultParallelism,
+            self.config.worker_count,
+        )
+
     # ------------------------------------------------------------------
     def seed_frontier(self, seeds: DataFrame) -> None:
         """A3: seed injection with the literal linked_from='start' sentinel
@@ -222,8 +236,9 @@ class CrawlEngine:
             )
             .otherwise("ok"),
         )
+        n_parts = self.fetch_partition_count()
         fetched = fetched.repartition(
-            F.pmod(F.xxhash64("host", "url_norm"), F.lit(64)).cast("int")
+            n_parts, F.pmod(F.xxhash64("host", "url_norm"), F.lit(n_parts)).cast("int")
         )
         fetched = fetched.withColumn(
             "spans",

@@ -88,3 +88,34 @@ value = "zzz"
     assert dict(cfg.cookies)["sid"] == "zzz"
     # auth configured but session cookie present → suppressed (brink.go:177-184)
     assert "Authorization" not in cfg.request_headers()
+
+
+def test_reference_example_conf_loads_fully():
+    """The reference's own example config (cmd/example-conf.toml) loads with
+    every key mapped — including url-buffer-size / worker-count /
+    idle-work-check-interval (crawler.go:53-62, wave-model mappings
+    documented on CrawlConfig) and the 'forbidden-paths' spelling the
+    reference's own tag ('ignore-path-visits') would silently drop."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any unknown-key warning = failure
+        cfg = from_toml("/root/reference/cmd/example-conf.toml")
+    assert cfg.entrypoint == "http://example.com"
+    assert cfg.url_buffer_size == 150000
+    assert cfg.worker_count == 10
+    assert cfg.idle_work_check_interval == 5000
+    assert cfg.forbidden_paths == ()
+    assert dict(cfg.cookies)["CookieName"] == "Cookie Value"
+    assert dict(cfg.headers)["header-name"] == "header-value"
+
+
+def test_unknown_toml_key_warns(tmp_path):
+    p = tmp_path / "conf.toml"
+    p.write_text('entrypoint = "https://x.com"\nnot-a-real-key = 3\n')
+    import warnings
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        from_toml(str(p))
+    assert any("not-a-real-key" in str(x.message) for x in w)

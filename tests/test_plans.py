@@ -104,3 +104,40 @@ def test_anti_join_on_uniform_key(spark):
     plan = _codegen(edges.join(visited, "url_norm", "left_anti"))
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fetch_repartition_modulus_scales(spark, tmp_path):
+    """The fetch-stage salt modulus must not be a fixed constant (the r1
+    lit(64) capped a 4N-executor cluster at 64-way parallelism): it derives
+    from shuffle partitions / defaultParallelism / worker-count and obeys an
+    explicit override."""
+    from brink_spark.config import CrawlConfig
+    from brink_spark.plans.crawl import CrawlEngine
+
+    base = CrawlConfig("https://site0.example/")
+    eng = CrawlEngine(spark, base, str(tmp_path / "s1"))
+    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    natural = max(shuffle, spark.sparkContext.defaultParallelism)
+    assert eng.fetch_partition_count() == natural
+
+    # worker-count is a floor-raising hint, never a cap below the cluster
+    small = CrawlEngine(spark, base.with_(worker_count=2), str(tmp_path / "s2"))
+    assert small.fetch_partition_count() == natural
+    big = CrawlEngine(spark, base.with_(worker_count=natural * 8), str(tmp_path / "s3"))
+    assert big.fetch_partition_count() == natural * 8
+
+    # explicit override wins
+    exp = CrawlEngine(spark, base.with_(fetch_partitions=1024), str(tmp_path / "s4"))
+    assert exp.fetch_partition_count() == 1024
+
+    # and the physical plan actually uses it: the exchange is n-way hash
+    # partitioning on the salt, not a 64-key constant
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(
+        F.concat(F.lit("h"), F.col("id") % 7).alias("host"),
+        F.concat(F.lit("https://h/p"), F.col("id")).alias("url_norm"),
+    )
+    n = eng.fetch_partition_count()
+    rep = df.repartition(n, F.pmod(F.xxhash64("host", "url_norm"), F.lit(n)).cast("int"))
+    assert rep.rdd.getNumPartitions() == n
