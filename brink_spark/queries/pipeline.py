@@ -81,10 +81,42 @@ shingles AS (
 """
 
 
+# Document-frequency cap for similarity self-joins: a shingle present in
+# df > K docs would contribute a df² partition to the shared-shingle join
+# (the classic boilerplate blowup: one nav-bar 3-gram in 10⁶ docs = 10¹²
+# pairs in ONE task). Ultra-frequent shingles carry no dedup signal, so
+# both engines drop them identically BEFORE the self-join; at test SF the
+# cap never binds (verified by test_similarity_caps), so outputs are
+# unchanged — at web scale it bounds every join partition by K².
+SHINGLE_DF_CAP = 50
+# Same idea for LSH band buckets: a band signature shared by > cap docs
+# (boilerplate-dominated band) is dropped before pairing.
+BAND_BUCKET_CAP = 200
+
+
+def _capped_shingles(spark, sf) -> DataFrame:
+    sh = _shingles(spark, sf)
+    rare = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= SHINGLE_DF_CAP
+    )
+    # semi join keys on sh — co-partitioned with the downstream self-join
+    return sh.join(rare.select("sh"), "sh", "left_semi")
+
+
+_SQL_CAPPED_SHINGLES = f"""
+capped AS (
+  SELECT s.doc_id, s.sh FROM shingles s
+  JOIN (SELECT sh FROM shingles GROUP BY sh
+        HAVING COUNT(*) <= {SHINGLE_DF_CAP}) rare USING (sh))
+"""
+
+
 def q_dedup_ngram_jaccard(spark, sf):
     """Word-3-gram Jaccard over docs sharing ≥1 shingle; pairs with J ≥ 0.5.
-    The shared-shingle prejoin is the scale trick: no all-pairs product."""
-    sh = _shingles(spark, sf)
+    The shared-shingle prejoin is the scale trick: no all-pairs product.
+    Shingles with document frequency > SHINGLE_DF_CAP are dropped on both
+    engines before the self-join (hot-key bound; see cap note above)."""
+    sh = _capped_shingles(spark, sf)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -111,10 +143,11 @@ def q_dedup_ngram_jaccard(spark, sf):
 
 SQL_NGRAM_JACCARD = f"""
 WITH {_SQL_SHINGLES},
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+{_SQL_CAPPED_SHINGLES},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM capped GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
 SELECT doc_a, doc_b, n_inter,
        ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
@@ -144,6 +177,16 @@ def q_dedup_minhash_lsh(spark, sf):
             ).alias("mh")
         )
     )
+    # band-bucket cap: a (band, mh) bucket with > BAND_BUCKET_CAP members is
+    # boilerplate-dominated — drop it before the quadratic in-bucket pairing
+    # (same predicate in the oracle; never binds at test SF)
+    small = (
+        sig.groupBy("band", "mh")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= BAND_BUCKET_CAP)
+        .select("band", "mh")
+    )
+    sig = sig.join(small, ["band", "mh"], "left_semi")
     a = sig.alias("a")
     b = sig.alias("b")
     return (
@@ -160,11 +203,15 @@ def q_dedup_minhash_lsh(spark, sf):
 
 SQL_MINHASH_LSH = f"""
 WITH {_SQL_SHINGLES},
-sig AS (
+sig0 AS (
   SELECT doc_id, b.band,
          MIN(substr(md5(CAST(b.band AS VARCHAR) || '|' || sh), 1, 12)) AS mh
   FROM shingles CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band)
-  GROUP BY doc_id, b.band)
+  GROUP BY doc_id, b.band),
+sig AS (
+  SELECT s.* FROM sig0 s
+  JOIN (SELECT band, mh FROM sig0 GROUP BY band, mh
+        HAVING COUNT(*) <= {BAND_BUCKET_CAP}) small USING (band, mh))
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM sig a JOIN sig b ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id
 """
@@ -302,6 +349,79 @@ WHERE {_SQL_DOT} / (a.nrm * b.nrm) >= 0.45
 """
 
 
+def _bucket_col(offset: int):
+    """8-bit random-hyperplane proxy: sign bits of dims offset, offset+8, ...
+    (1-indexed; bit-exact across engines). Distinct offsets give independent
+    tables for the OR-construction. At web scale, raise bits per table so
+    expected bucket population n/2^bits stays bounded (the knob, not the
+    code, changes)."""
+    return sum(
+        F.when(F.element_at("embedding", k * 8 + offset) >= 0, F.lit(1 << k)).otherwise(
+            F.lit(0)
+        )
+        for k in range(8)
+    )
+
+
+def _sql_bucket(offset: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN embedding[{k * 8 + offset}] >= 0 THEN {1 << k} ELSE 0 END)"
+        for k in range(8)
+    )
+
+
+def q_embed_neardup_lsh(spark, sf):
+    """The SCALE path for thresholded embedding near-dup (the broadcast
+    q_embed_neardup is the small-side baseline): 2-table LSH OR-construction
+    (sign-bit buckets over two disjoint dim sets) generates candidates as
+    per-bucket equi-joins — no all-pairs product, nothing collected to the
+    driver — then an exact-cosine re-rank keeps pairs >= 0.45. Every
+    reported pair is exact (soundness = brute force on the candidate set);
+    recall is the OR of two independent 8-bit tables. Candidate id-pairs,
+    not vectors, flow through the union+distinct shuffle; vectors are
+    re-joined only for the re-rank."""
+    e = _emb_double(spark, sf).withColumn("nrm", F.expr(_NORM))
+    eb = _emb(spark, sf).select(
+        "vec_id", _bucket_col(1).alias("b0"), _bucket_col(5).alias("b1")
+    )
+    cands = None
+    for t in ("b0", "b1"):
+        a = eb.alias("a")
+        b = eb.alias("b")
+        p = a.join(
+            b,
+            (F.col(f"a.{t}") == F.col(f"b.{t}")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        ).select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        cands = p if cands is None else cands.unionByName(p)
+    cands = cands.distinct()
+    va = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), F.col("nrm").alias("na")
+    )
+    vb = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
+    )
+    dot = "aggregate(zip_with(ea, eb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    return (
+        cands.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn("cosine", F.expr(dot) / (F.col("na") * F.col("nb")))
+        .filter(F.col("cosine") >= 0.45)
+        .select("vec_a", "vec_b", F.round("cosine", 4).alias("cos_r"))
+    )
+
+
+SQL_EMBED_NEARDUP_LSH = f"""
+WITH n AS (SELECT vec_id, embedding, {_SQL_NRM} AS nrm FROM embeddings),
+eb AS (SELECT vec_id, {_sql_bucket(1)} AS b0, {_sql_bucket(5)} AS b1 FROM embeddings),
+cand AS (
+  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM eb x JOIN eb y ON (x.b0 = y.b0 OR x.b1 = y.b1) AND x.vec_id < y.vec_id)
+SELECT vec_a, vec_b, ROUND({_SQL_DOT} / (a.nrm * b.nrm), 4) AS cos_r
+FROM cand JOIN n a ON a.vec_id = vec_a JOIN n b ON b.vec_id = vec_b
+WHERE {_SQL_DOT} / (a.nrm * b.nrm) >= 0.45
+"""
+
+
 def q_ann_bruteforce_topk(spark, sf):
     """Brute-force cosine top-5 for query vectors vec_id < 10 (rank by
     (cosine DESC, vec_id) — deterministic tie-break)."""
@@ -375,6 +495,71 @@ SQL_ANN_LSH = f"""
 WITH eb AS (SELECT vec_id, {_SQL_BUCKET} AS bucket FROM embeddings)
 SELECT a.bucket AS bucket, a.vec_id AS vec_a, b.vec_id AS vec_b
 FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+"""
+
+
+def q_ann_lsh_topk(spark, sf):
+    """The full ANN scale pipeline: multi-table LSH candidate generation
+    (2-table OR-construction) -> exact-cosine RE-RANK -> top-5 per query
+    (queries = vec_id < 10; rank by cosine DESC, neighbor_id). This is what
+    replaces q_ann_bruteforce_topk at 100 TB: per-bucket joins instead of
+    the O(n*q) cross score, exactness restored on the candidate set by the
+    re-rank stage."""
+    e = _emb_double(spark, sf).withColumn("nrm", F.expr(_NORM))
+    eb = _emb(spark, sf).select(
+        "vec_id", _bucket_col(1).alias("b0"), _bucket_col(5).alias("b1")
+    )
+    q = eb.filter(F.col("vec_id") < 10)
+    cands = None
+    for t in ("b0", "b1"):
+        a = q.alias("a")
+        b = eb.alias("b")
+        p = a.join(
+            b,
+            (F.col(f"a.{t}") == F.col(f"b.{t}"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        ).select(
+            F.col("a.vec_id").alias("query_id"), F.col("b.vec_id").alias("neighbor_id")
+        )
+        cands = p if cands is None else cands.unionByName(p)
+    cands = cands.distinct()
+    va = e.select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("ea"), F.col("nrm").alias("na")
+    )
+    vb = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    dot = "aggregate(zip_with(ea, eb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    scored = (
+        cands.join(va, "query_id")
+        .join(vb, "neighbor_id")
+        .withColumn("cosine", F.expr(dot) / (F.col("na") * F.col("nb")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+SQL_ANN_LSH_TOPK = f"""
+WITH n AS (SELECT vec_id, embedding, {_SQL_NRM} AS nrm FROM embeddings),
+eb AS (SELECT vec_id, {_sql_bucket(1)} AS b0, {_sql_bucket(5)} AS b1 FROM embeddings),
+cand AS (
+  SELECT DISTINCT x.vec_id AS query_id, y.vec_id AS neighbor_id
+  FROM eb x JOIN eb y ON (x.b0 = y.b0 OR x.b1 = y.b1) AND x.vec_id <> y.vec_id
+  WHERE x.vec_id < 10),
+scored AS (
+  SELECT query_id, neighbor_id, {_SQL_DOT} / (a.nrm * b.nrm) AS cosine
+  FROM cand JOIN n a ON a.vec_id = query_id JOIN n b ON b.vec_id = neighbor_id)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored) WHERE rank <= 5
 """
 
 
@@ -480,50 +665,111 @@ FROM documents GROUP BY lang
 
 
 # --------------------------------------------------------------------------
-# multimodal stub: binary payload plumbing through mapInPandas
+# span explode: the engine's one-page -> N-links shape under the driver gate
+
+
+def q_span_explode(spark, sf):
+    """D1 explode-of-struct-array under the hard driver gate: synthesize
+    ``array<struct<kind,text,offset>>`` spans from documents.text (words
+    starting with 'a' are 'link' spans — arbitrary but engine-identical),
+    explode, keep link spans, aggregate per doc. This is exactly the
+    one-page -> N-links shape of the crawl traversal (reference
+    urls.go:73-106; engine plans/crawl.py links stage), driver-checked
+    against DuckDB UNNEST."""
+    d = _docs(spark, sf)
+    w = F.split("text", " ")
+    spans = F.transform(
+        w,
+        lambda t, i: F.struct(
+            F.when(F.substring(t, 1, 1) == F.lit("a"), "link")
+            .otherwise("text")
+            .alias("kind"),
+            t.alias("text"),
+            i.alias("offset"),
+        ),
+    )
+    ex = d.select("doc_id", F.explode(spans).alias("s"))
+    return (
+        ex.filter(F.col("s.kind") == "link")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.countDistinct("s.text").alias("n_distinct_targets"),
+            F.sum("s.offset").alias("sum_offset"),
+        )
+    )
+
+
+SQL_SPAN_EXPLODE = """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+spans AS (
+  SELECT doc_id,
+         CASE WHEN substr(w[i], 1, 1) = 'a' THEN 'link' ELSE 'text' END AS kind,
+         w[i] AS stext, i - 1 AS off
+  FROM words, UNNEST(generate_series(1, len(w))) AS t(i))
+SELECT doc_id, COUNT(*) AS n_links, COUNT(DISTINCT stext) AS n_distinct_targets,
+       CAST(SUM(off) AS BIGINT) AS sum_offset
+FROM spans WHERE kind = 'link' GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# multimodal: genuinely-binary payload plumbing through mapInPandas
 
 
 def q_multimodal_features(spark, sf):
-    """Opaque-binary multimodal plumbing: documents → binary payload →
-    Arrow-batched feature extraction via mapInPandas. The decode itself is
-    a deterministic stub (no image/audio libs in this container — see
-    _fake_decode); the schema, batching and partitioning are the real
-    production shape."""
-    d = _docs(spark, sf).select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
-    )
+    """Opaque-binary multimodal plumbing: a genuinely binary payload column
+    (unhex(md5(text)) — 16 raw bytes, full 0-255 range, NOT re-encoded
+    text) flows through Arrow-batched feature extraction via mapInPandas.
+    The decode itself is a deterministic stub (no image/audio libs in this
+    container — a real pipeline decodes with PIL/librosa here); the schema,
+    binary Arrow transfer, batching and partitioning are the production
+    shape. Modality is derived from the payload bytes (typed-metadata
+    shape); the oracle recomputes every feature from md5 nibble arithmetic."""
+    d = _docs(spark, sf).select("doc_id", F.unhex(F.md5("text")).alias("payload"))
 
     def _extract(batches):
+        import numpy as np
         import pandas as pd
 
+        mods = np.array(["image", "audio", "video"])
         for pdf in batches:
-            payloads = pdf["payload"]
-            # _fake_decode: a real pipeline would decode image/audio bytes
-            # here (PIL/librosa); stubbed deterministically on byte stats.
+            raw = np.frombuffer(b"".join(pdf["payload"]), dtype=np.uint8).reshape(
+                len(pdf), 16
+            )
+            first = raw[:, 0].astype("int64")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": payloads.map(len).astype("int64"),
-                    "first_byte": payloads.map(
-                        lambda b: int(b[0]) if len(b) else -1
-                    ).astype("int64"),
-                    "modality": "text",
+                    "n_bytes": np.full(len(pdf), 16, dtype="int64"),
+                    "first_byte": first,
+                    "byte_sum": raw.sum(axis=1, dtype="int64"),
+                    "modality": mods[first % 3],
                 }
             )
 
     return d.mapInPandas(
         _extract,
-        schema="doc_id long, n_bytes long, first_byte long, modality string",
+        schema="doc_id long, n_bytes long, first_byte long, byte_sum long, modality string",
     )
 
 
-SQL_MULTIMODAL = """
+_SQL_NIB = "(strpos('0123456789abcdef', substr(md5(text), {j}, 1)) - 1)"
+
+SQL_MULTIMODAL = f"""
+WITH f AS (
+  SELECT doc_id, text,
+         {_SQL_NIB.format(j=1)} * 16 + {_SQL_NIB.format(j=2)} AS first_byte
+  FROM documents)
 SELECT doc_id,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       CAST(CASE WHEN length(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE -1 END
-            AS BIGINT) AS first_byte,
-       'text' AS modality
-FROM documents
+       CAST(16 AS BIGINT) AS n_bytes,
+       CAST(first_byte AS BIGINT) AS first_byte,
+       CAST((SELECT SUM(({_SQL_NIB.format(j="2 * i + 1")}) * 16
+                        + ({_SQL_NIB.format(j="2 * i + 2")}))
+             FROM UNNEST(generate_series(0, 15)) AS t(i)) AS BIGINT) AS byte_sum,
+       CASE first_byte % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS modality
+FROM f
 """
 
 
@@ -533,8 +779,11 @@ PIPELINE_QUERIES = {
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_MINHASH_LSH),
     "dedup_simhash": (q_dedup_simhash, SQL_SIMHASH),
     "embed_neardup": (q_embed_neardup, SQL_EMBED_NEARDUP),
+    "embed_neardup_lsh": (q_embed_neardup_lsh, SQL_EMBED_NEARDUP_LSH),
     "ann_bruteforce_topk": (q_ann_bruteforce_topk, SQL_ANN_TOPK),
     "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_ANN_LSH),
+    "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
+    "span_explode": (q_span_explode, SQL_SPAN_EXPLODE),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),
     "doc_fingerprint": (q_doc_fingerprint, SQL_FINGERPRINT),

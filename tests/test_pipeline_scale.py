@@ -1,0 +1,166 @@
+"""Scale-path properties of the similarity operators (VERDICT r1 items 3-4):
+
+- LSH near-dup soundness: every pair the bucketed path reports is in the
+  brute-force pair set (exactness on the candidate set — the same superset
+  contract test_split_seen_bloom_equals_exact pins for the Bloom filter).
+- LSH recall at the operating point: near-dup in production means
+  cosine >= ~0.9 (planted duplicates), where per-bit sign agreement is
+  p = 1 - arccos(0.9)/pi ~ 0.86 and 2x8-bit tables recall ~1. The sf
+  fixture's 0.45-threshold pairs are random-distribution tail (cos ~ 0.46,
+  p ~ 0.65) where ANY sub-quadratic bucketing has low recall — that is
+  physics, not a bug; the planted test pins the regime that matters.
+- Hot-key caps: a boilerplate shingle shared by every doc must not create
+  a quadratic join partition (SHINGLE_DF_CAP), and an all-identical-docs
+  band bucket must be dropped (BAND_BUCKET_CAP); on normal data the caps
+  must not bind (capped output == uncapped output).
+"""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _write_embeddings(spark, path, mat):
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(len(mat))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{path}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def planted_dir(spark, tmp_path_factory):
+    """120 random unit-ish vectors + 15 near-duplicates (tiny perturbation,
+    cosine ~ 0.999) — the actual near-dup operating regime."""
+    rng = np.random.RandomState(7)
+    base = rng.randn(120, 64)
+    dups = base[:15] + 1e-3 * rng.randn(15, 64)
+    mat = np.vstack([base, dups]).astype(np.float32)
+    d = tmp_path_factory.mktemp("planted")
+    _write_embeddings(spark, str(d), mat)
+    return str(d)
+
+
+def _pairs(df):
+    return {(r["vec_a"], r["vec_b"]) for r in df.collect()}
+
+
+def test_lsh_neardup_sound_vs_bruteforce(spark):
+    from brink_spark.queries.pipeline import q_embed_neardup, q_embed_neardup_lsh
+
+    brute = _pairs(q_embed_neardup(spark, SF_SMALL))
+    lsh = _pairs(q_embed_neardup_lsh(spark, SF_SMALL))
+    assert lsh <= brute  # soundness: re-rank is exact on the candidate set
+
+
+def test_lsh_neardup_full_recall_on_planted_dups(spark, planted_dir):
+    from brink_spark.queries.pipeline import q_embed_neardup, q_embed_neardup_lsh
+
+    brute = _pairs(q_embed_neardup(spark, planted_dir))
+    planted = {(i, 120 + i) for i in range(15)}
+    assert planted <= brute
+    lsh = _pairs(q_embed_neardup_lsh(spark, planted_dir))
+    assert lsh <= brute
+    # every planted near-dup (cos ~ 0.999: all sign bits agree) is recalled
+    assert planted <= lsh
+
+
+def test_ann_lsh_topk_neighbors_are_real(spark):
+    """Every re-ranked LSH neighbor must appear in the brute-force scored
+    set with the same exact cosine ordering property: the rank-1 LSH
+    neighbor's true rank among ALL vectors is the best among candidates."""
+    from brink_spark.queries.pipeline import q_ann_bruteforce_topk, q_ann_lsh_topk
+
+    lsh = q_ann_lsh_topk(spark, SF_SMALL).collect()
+    assert len(lsh) > 0
+    brute = {
+        (r["query_id"], r["neighbor_id"]): r["rank"]
+        for r in q_ann_bruteforce_topk(spark, SF_SMALL).collect()
+    }
+    # soundness of ordering: if an LSH pair IS in the brute top-5, the LSH
+    # rank can only be <= the brute rank (candidates are a subset)
+    for r in lsh:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in brute:
+            assert r["rank"] <= brute[key]
+
+
+@pytest.fixture(scope="module")
+def boilerplate_dir(spark, tmp_path_factory):
+    """100 docs sharing one 3-gram of boilerplate and nothing else: the
+    classic df=100 hot shingle that would make a 100^2/2-pair partition."""
+    rows = [
+        (i, f"common boiler plate u{i}a u{i}b u{i}c u{i}d", "en", 40)
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, n_chars long")
+    d = tmp_path_factory.mktemp("boiler")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return str(d)
+
+
+def test_shingle_df_cap_bounds_hot_key(spark, boilerplate_dir):
+    from brink_spark.queries.pipeline import (
+        SHINGLE_DF_CAP,
+        _capped_shingles,
+        _shingles,
+        q_dedup_ngram_jaccard,
+    )
+
+    # the boilerplate shingles exceed the cap and are dropped pre-join;
+    # uncapped, the hot shingles alone would emit 100*99/2 join rows each
+    sh = _shingles(spark, boilerplate_dir)
+    hot = sh.groupBy("sh").count().filter(F.col("count") > SHINGLE_DF_CAP).count()
+    assert hot >= 1
+    capped = _capped_shingles(spark, boilerplate_dir)
+    assert (
+        capped.groupBy("sh").count().filter(F.col("count") > SHINGLE_DF_CAP).count() == 0
+    )
+    # and the query output is bounded (no cross-boilerplate pairs)
+    assert q_dedup_ngram_jaccard(spark, boilerplate_dir).count() == 0
+
+
+def test_caps_do_not_bind_on_normal_fixture(spark):
+    """On real data the caps are invisible: capped Jaccard == uncapped."""
+    from brink_spark.queries.pipeline import _shingles, q_dedup_ngram_jaccard
+
+    capped_rows = {
+        tuple(r) for r in q_dedup_ngram_jaccard(spark, SF_SMALL).collect()
+    }
+
+    # inline uncapped variant (the r1 shape)
+    sh = _shingles(spark, SF_SMALL)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    uncapped = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "n_inter", "jaccard")
+    )
+    assert capped_rows == {tuple(r) for r in uncapped.collect()}
+
+
+def test_band_bucket_cap_drops_megabucket(spark, tmp_path_factory):
+    """300 identical docs land in one (band, mh) bucket > BAND_BUCKET_CAP:
+    the bucket is dropped (exact dedup is the right tool for identical
+    docs; the LSH stage must not build a 300^2/2 partition for them)."""
+    from brink_spark.queries.pipeline import q_dedup_minhash_lsh
+
+    rows = [(i, "same exact words in every single document here", "en", 40) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, n_chars long")
+    d = tmp_path_factory.mktemp("identical")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    assert q_dedup_minhash_lsh(spark, str(d)).count() == 0
