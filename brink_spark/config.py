@@ -75,9 +75,9 @@ class CrawlConfig:
     bloom_num_hashes: int = 5
     politeness_salts: int = 8  # two-phase top-k fan-out for hot hosts
     compact_visited_every: int = 8  # waves between visited-table compactions
-    # synchronous per-wave counter collection (diagnostics). False = lean
-    # mode: the wave only writes tables + checks frontier emptiness; counts
-    # are derived post-hoc from the store (production/throughput profile).
+    # Per-wave counters always ride the writes for free (Observations), so
+    # this now gates only the per-partition lineage diagnostic (A5), the one
+    # counter that needs a grouped collect. False = throughput profile.
     collect_metrics: bool = True
 
     @property

@@ -1,9 +1,10 @@
 """Interleaved-document span model (input_hint shape).
 
 A document is ``array<struct<kind:string, text:string, media_ref:string,
-offset:int>>`` in document order: ``text`` spans carry prose, ``media``
-spans carry a ``media_ref`` URI, ``link`` spans carry the raw href in
-``text``. The reference treats bodies as opaque bytes and only extracts
+offset:int, target:string>>`` in document order: ``text`` spans carry
+prose, ``media`` spans carry a ``media_ref`` URI, ``link`` spans carry the
+raw href in ``text`` and the ``<a target>`` attribute (reference ``Link``
+parity, urls.go:34-38) in ``target``. The reference treats bodies as opaque bytes and only extracts
 ``<a>`` tags (urls.go:73-106); the span model extends that to interleaved
 text + media while keeping link extraction semantics identical.
 
@@ -35,6 +36,10 @@ SPAN_STRUCT = StructType(
         StructField("text", StringType()),
         StructField("media_ref", StringType()),
         StructField("offset", IntegerType()),
+        # <a target> attribute, reference Link parity (urls.go:34-38,92-93);
+        # None for non-link spans and links without the attribute. Last field
+        # so positional tuple(span) conversions stay aligned.
+        StructField("target", StringType()),
     ]
 )
 SPANS_TYPE = ArrayType(SPAN_STRUCT)
@@ -47,6 +52,7 @@ class Span(NamedTuple):
     text: Optional[str]
     media_ref: Optional[str]
     offset: int
+    target: Optional[str] = None
 
     def content_len(self) -> int:
         if self.kind == "media":
@@ -64,7 +70,10 @@ def render_html(spans: list[Span]) -> str:
         elif s.kind == "media":
             parts.append(f'<img src="{escape(s.media_ref or "", quote=True)}"/>')
         elif s.kind == "link":
-            parts.append(f'<a href="{escape(s.text or "", quote=True)}">&#8226;</a>')
+            tgt = (
+                f' target="{escape(s.target, quote=True)}"' if s.target is not None else ""
+            )
+            parts.append(f'<a href="{escape(s.text or "", quote=True)}"{tgt}>&#8226;</a>')
         else:  # pragma: no cover - generator never emits other kinds
             raise ValueError(f"unknown span kind {s.kind!r}")
     parts.append("</body></html>")
@@ -94,10 +103,13 @@ class _SpanParser(HTMLParser):
         if tag == "a":
             self._flush_text()
             href = ""
+            target = None
             for k, v in attrs:
                 if k == "href":
                     href = v or ""
-            self.spans.append(Span("link", href, None, self._offset))
+                elif k == "target":  # urls.go:92-93
+                    target = v or ""
+            self.spans.append(Span("link", href, None, self._offset, target))
             self._offset += len(href)
         elif tag in _MEDIA_TAGS:
             self._flush_text()

@@ -83,6 +83,10 @@ class CrawlResult:
     spans_by_doc: dict[str, list[Span]] = field(default_factory=dict)
     metrics: list[dict] = field(default_factory=list)
     n_waves: int = 0
+    # shared cookie jar after the crawl (brink.go:267-274), wave-discretized:
+    # cookies set by wave K's fetches apply from wave K+1 on
+    cookie_jar: dict[str, str] = field(default_factory=dict)
+    auth_suppressed_since_wave: Optional[int] = None
 
 
 def _robots_denied(robots_rules: dict[str, list[tuple[str, str]]], host: str, path: str) -> bool:
@@ -124,6 +128,16 @@ def crawl_oracle(fixture: SiteFixture, config: Optional[CrawlConfig] = None) -> 
     max_cl = config.effective_max_content_length
 
     res = CrawlResult()
+    res.cookie_jar = dict(config.cookies)
+    session_lower = {s.lower() for s in config.session_cookie_names}
+
+    def _auth_check(w: int) -> None:
+        if res.auth_suppressed_since_wave is None and session_lower and any(
+            n.lower() in session_lower for n in res.cookie_jar
+        ):
+            res.auth_suppressed_since_wave = w
+
+    _auth_check(0)
     frontier: list[Edge] = [Edge("start", s["url"], s["priority"]) for s in fixture.seeds]
     wave = 0
 
@@ -192,6 +206,7 @@ def crawl_oracle(fixture: SiteFixture, config: Optional[CrawlConfig] = None) -> 
         # 6. fetch in crawl order (the ordering contract)
         eligible.sort(key=lambda t: (t[0], t[1], t[2]))
         new_edges: list[Edge] = []
+        wave_cookies: list[tuple[str, str]] = []
         for prio, host, un, edges in eligible:
             m["n_fetched"] += 1
             res.crawl_log.append((wave, un))
@@ -208,6 +223,8 @@ def crawl_oracle(fixture: SiteFixture, config: Optional[CrawlConfig] = None) -> 
                 m["n_too_large"] += 1
                 continue
             m["n_ok"] += 1
+            if page.set_cookie is not None:
+                wave_cookies.append((un, page.set_cookie))
             res.visited[un] = page.status
             res.handler_rows.append(
                 HandlerRow(wave, first.linked_from, un, page.status, False, len(page.spans))
@@ -234,6 +251,14 @@ def crawl_oracle(fixture: SiteFixture, config: Optional[CrawlConfig] = None) -> 
                     continue
                 new_edges.append(Edge(first.url, resolved, prio))
                 m["n_new_links"] += 1
+
+        # response-cookie merge, sorted(url_norm) — the same deterministic
+        # stand-in for goroutine arrival order the engine uses
+        if wave_cookies:
+            for _, sc in sorted(wave_cookies):
+                name, _, value = sc.partition("=")
+                res.cookie_jar[name] = value
+            _auth_check(wave + 1)
 
         res.handler_rows.extend(cached_rows)
         res.metrics.append(m)

@@ -4,7 +4,8 @@
 2. wave-discretized crawl-order equality (attempted fetches, ordered by
    (wave, priority, host, url_norm)),
 3. handler-row multiset equality including ``cached`` flags,
-4. span-sequence equality per fetched document (kind, text, media_ref, order).
+4. span-sequence equality per fetched document (kind, text, media_ref,
+   offset, target order).
 """
 
 from __future__ import annotations
@@ -116,11 +117,11 @@ def compare_engine_oracle(
         fetched_docs = res_df.filter(~F.col("cached")).select("url_norm", "spans")
         for r in fetched_docs.collect():
             want = [
-                (s.kind, s.text, s.media_ref, s.offset)
+                (s.kind, s.text, s.media_ref, s.offset, s.target)
                 for s in oracle.spans_by_doc.get(r["url_norm"], [])
             ]
             got = [
-                (s["kind"], s["text"], s["media_ref"], s["offset"])
+                (s["kind"], s["text"], s["media_ref"], s["offset"], s["target"])
                 for s in (r["spans"] or [])
             ]
             if want != got:

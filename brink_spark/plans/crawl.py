@@ -41,7 +41,7 @@ import time
 from contextlib import contextmanager
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, Window, functions as F
 from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
 from brink_spark.config import CrawlConfig
@@ -110,20 +110,54 @@ class CrawlEngine:
         )
         self._rules = robots_rules_per_host(robots) if robots is not None else None
         self._budgets = budget_per_host(robots, config.politeness_budget)
+        # shared cookie jar (reference brink.go:267-274): response cookies
+        # merge in by name, overwriting. Wave-discretized semantics: cookies
+        # set by pages fetched in wave K apply to requests from wave K+1 on.
+        self.cookie_jar: dict[str, str] = dict(config.cookies)
+        self.auth_suppressed_since_wave: int | None = None
+        self._check_auth_suppression(wave=0)
+
+    def _check_auth_suppression(self, wave: int) -> None:
+        """brink.go:177-184: once the jar holds a cookie whose name matches a
+        session cookie name (case-insensitive), the Authorization header is
+        dropped from every later request."""
+        if self.auth_suppressed_since_wave is not None:
+            return
+        session_lower = {s.lower() for s in self.config.session_cookie_names}
+        if session_lower and any(n.lower() in session_lower for n in self.cookie_jar):
+            self.auth_suppressed_since_wave = wave
+
+    def request_headers(self) -> dict[str, str]:
+        """Headers the next wave's requests would carry: config headers/auth
+        evaluated against the RUNTIME cookie jar."""
+        return self.config.with_(
+            cookies=tuple(sorted(self.cookie_jar.items()))
+        ).request_headers()
 
     def fetch_partition_count(self) -> int:
-        """Fetch-stage salt modulus. Never a fixed constant (a lit(64) here
-        caps parallelism on a 4N-executor cluster): explicit config override,
-        else the max of the session's shuffle partitions, the cluster's
-        default parallelism, and the reference worker-count hint
-        (crawler.go:57) — so the modulus scales with the cluster."""
+        """Fetch-stage partition count. 0 = AQE-managed (the default): the
+        salt key is the raw 64-bit hash (unbounded cardinality — the r1
+        lit(64) modulus capped a 4N-executor cluster at 64-way parallelism),
+        and leaving the count to AQE lets it coalesce/split the exchange to
+        the wave's actual volume (an explicit count disables that and
+        measured ~15% slower at bench scale). Explicit override: the
+        fetch-partitions config key, else the reference worker-count hint
+        (crawler.go:57) when it EXCEEDS the cluster's natural parallelism
+        (a hint may raise the floor, never cap below the cluster)."""
         if self.config.fetch_partitions > 0:
             return self.config.fetch_partitions
-        return max(
+        natural = max(
             int(self.spark.conf.get("spark.sql.shuffle.partitions", "200")),
             self.spark.sparkContext.defaultParallelism,
-            self.config.worker_count,
         )
+        if self.config.worker_count > natural:
+            return self.config.worker_count
+        return 0  # AQE-managed
+
+    # Frontier row count of the NEXT wave, observed for free on the frontier
+    # write (Observation piggybacks on the write job — no extra action).
+    # None = unknown (resume mid-crawl) → one cheap parquet count() fallback.
+    _pending_frontier_count: int | None = None
 
     # ------------------------------------------------------------------
     def seed_frontier(self, seeds: DataFrame) -> None:
@@ -134,7 +168,10 @@ class CrawlEngine:
             F.col("url"),
             F.col("priority").cast("int").alias("priority"),
         )
+        obs = Observation("seed_frontier")
+        frontier0 = frontier0.observe(obs, F.count(F.lit(1)).alias("n"))
         self.store.write(frontier0, "frontier", 0)
+        self._pending_frontier_count = obs.get["n"]
 
     def run(
         self,
@@ -175,12 +212,17 @@ class CrawlEngine:
         else:
             wave = manifest.last_wave + 1
             self.store.clean_uncommitted(manifest.last_wave)
+            # any carried frontier count may describe a wave the crash threw
+            # away — recount once from parquet instead
+            self._pending_frontier_count = None
 
+        cookie_cols = ["set_cookie"] if "set_cookie" in self.pages.columns else []
         pages_slim = self.pages.select(
             "url_norm",
             F.col("status").alias("page_status"),
             "content_length",
             "body",
+            *cookie_cols,
         )
 
         while wave < max_waves:
@@ -236,9 +278,13 @@ class CrawlEngine:
             )
             .otherwise("ok"),
         )
+        # salt = raw 64-bit hash (unbounded cardinality, no modulus ceiling);
+        # partition count AQE-managed unless explicitly overridden — see
+        # fetch_partition_count
         n_parts = self.fetch_partition_count()
-        fetched = fetched.repartition(
-            n_parts, F.pmod(F.xxhash64("host", "url_norm"), F.lit(n_parts)).cast("int")
+        salt = F.xxhash64("host", "url_norm")
+        fetched = (
+            fetched.repartition(n_parts, salt) if n_parts > 0 else fetched.repartition(salt)
         )
         fetched = fetched.withColumn(
             "spans",
@@ -246,6 +292,7 @@ class CrawlEngine:
                 F.lit(None).cast(SPANS_TYPE)
             ),
         ).withColumn("partition_id", F.spark_partition_id())
+        cookie_cols = ["set_cookie"] if "set_cookie" in fetched.columns else []
         self.store.write(
             fetched.select(
                 "url_norm",
@@ -260,6 +307,7 @@ class CrawlEngine:
                 "base_host",
                 "spans",
                 "partition_id",
+                *cookie_cols,
             ),
             "fetchpage",
             wave,
@@ -287,14 +335,30 @@ class CrawlEngine:
         of the two scratch parquet tables.
 
         Materializing the deep DAG exactly once keeps the driver out of the
-        picture: without this, each of the ~8 actions re-analyzes the full
-        lineage (Catalyst planning is serial driver time) and the wave's
-        wall clock is dominated by plan depth rather than data. This is
-        also the Iceberg-native shape: scratch stages are ordinary tables.
+        picture: without this, each action re-analyzes the full lineage
+        (Catalyst planning is serial driver time) and the wave's wall clock
+        is dominated by plan depth rather than data. This is also the
+        Iceberg-native shape: scratch stages are ordinary tables.
+
+        Metrics ride the writes: every per-wave counter is an Observation
+        attached to the FINAL pre-write node of an existing write job (a
+        node that appears once in the plan — observing an interior fan-out
+        node would double-count), so no separate groupBy().count().collect()
+        jobs run. n_frontier is observed on the PREVIOUS wave's frontier
+        write and carried forward; only the per-partition lineage diagnostic
+        (collect_metrics=True) costs an extra action.
         """
         spark, store, cfg = self.spark, self.store, self.config
         frontier = store.read(spark, "frontier", wave)
         m = dict(wave=wave)
+
+        n_frontier = self._pending_frontier_count
+        if n_frontier is None:  # resume: one columnless parquet count
+            with self._phase("frontier-count"):
+                n_frontier = frontier.count()
+        m["n_frontier"] = n_frontier
+        if n_frontier == 0:
+            return None
 
         norm = frontier.withColumn("_p", self.norm_udf("url")).select(
             "linked_from",
@@ -367,55 +431,49 @@ class CrawlEngine:
             F.lit("seen").alias("edge_kind"),
             F.col("status").cast("int").alias("seen_status"),
         )
+        _fresh1 = (F.col("edge_kind") == "fresh") & (F.col("_edge_rank") == 1)
+        obs_edges = Observation(f"w{wave}_edges")
+        edges_out = fresh_flagged.unionByName(cached_flagged).observe(
+            obs_edges,
+            F.count(F.lit(1)).alias("n_edges"),
+            F.count_if(F.col("edge_kind") == "seen").alias("n_cached"),
+            F.count_if(_fresh1).alias("n_units"),
+            F.count_if(_fresh1 & F.col("robots_denied")).alias("n_robots_denied"),
+            F.count_if(_fresh1 & F.col("eligible")).alias("n_eligible"),
+        )
         with self._phase("stage-edges"):
-            store.write(fresh_flagged.unionByName(cached_flagged), "edges", wave)
+            store.write(edges_out, "edges", wave)
         edges = store.read(spark, "edges", wave)
-        if cfg.collect_metrics:
-            with self._phase("edge-counts"):
-                kind_counts = {
-                    (r["edge_kind"], r["is_first"], r["robots_denied"], r["eligible"]): r["count"]
-                    for r in edges.groupBy(
-                        "edge_kind",
-                        (F.col("_edge_rank") == 1).alias("is_first"),
-                        "robots_denied",
-                        "eligible",
-                    )
-                    .count()
-                    .collect()
-                }
-            m["n_cached"] = sum(
-                v for (kind, _, _, _), v in kind_counts.items() if kind == "seen"
-            )
-            n_fresh_units = sum(
-                v for (kind, r1, _, _), v in kind_counts.items() if kind == "fresh" and r1
-            )
-            m["n_units"] = n_fresh_units
-            m["n_robots_denied"] = sum(
-                v
-                for (kind, r1, rd, _), v in kind_counts.items()
-                if kind == "fresh" and r1 and rd
-            )
-            n_eligible = sum(
-                v
-                for (kind, r1, rd, el), v in kind_counts.items()
-                if kind == "fresh" and r1 and el
-            )
-            m["n_deferred"] = n_fresh_units - m["n_robots_denied"] - n_eligible
-            # frontier totals (malformed = frontier minus all surviving edges)
-            n_edges = sum(kind_counts.values())
-            with self._phase("frontier-count"):
-                m["n_frontier"] = frontier.count()
-            m["n_malformed"] = m["n_frontier"] - n_edges
-            if m["n_frontier"] == 0:
-                return None
-        elif not store.has("edges", wave) or edges.isEmpty():
-            if frontier.isEmpty():
-                return None
+        ec = obs_edges.get
+        m["n_cached"] = ec["n_cached"]
+        m["n_units"] = ec["n_units"]
+        m["n_robots_denied"] = ec["n_robots_denied"]
+        m["n_deferred"] = ec["n_units"] - ec["n_robots_denied"] - ec["n_eligible"]
+        # malformed = frontier rows minus all surviving edges
+        m["n_malformed"] = n_frontier - ec["n_edges"]
 
         # --- stage 2: fetch (A1/H4) + gates (C1/C2) + parse (D1) ----------
         with self._phase("stage-fetch"):
             self.fetch_stage(wave, edges, pages_slim)
         fetchpage = store.read(spark, "fetchpage", wave)
+
+        # response-cookie accumulation (brink.go:200-204): only runs when the
+        # pages source carries a set_cookie column, costs one tiny collect on
+        # the already-materialized scratch. Merge order is sorted(url_norm)
+        # — the wave model's deterministic stand-in for goroutine arrival.
+        if "set_cookie" in fetchpage.columns:
+            got = (
+                fetchpage.filter(
+                    (F.col("outcome") == "ok") & F.col("set_cookie").isNotNull()
+                )
+                .select("url_norm", "set_cookie")
+                .collect()
+            )
+            for r in sorted(got, key=lambda r: r["url_norm"]):
+                name, _, value = r["set_cookie"].partition("=")
+                self.cookie_jar[name] = value
+            if got:
+                self._check_auth_suppression(wave + 1)
 
         # --- flat projections ---------------------------------------------
         log_cols = lambda df, outcome_col, pid_col: df.select(  # noqa: E731
@@ -426,58 +484,40 @@ class CrawlEngine:
             outcome_col.alias("outcome"),
             pid_col.alias("partition_id"),
         )
-        with self._phase("fetchlog"):
-            store.write(
-                log_cols(fetchpage, F.col("outcome"), F.col("partition_id"))
-                .unionByName(
-                    log_cols(
-                        edges.filter(
-                            (F.col("edge_kind") == "fresh")
-                            & (F.col("_edge_rank") == 1)
-                            & F.col("robots_denied")
-                        ),
-                        F.lit("robots_denied"),
-                        F.lit(-1),
-                    )
-                )
-                .unionByName(
-                    log_cols(
-                        edges.filter(
-                            (F.col("edge_kind") == "fresh")
-                            & (F.col("_edge_rank") == 1)
-                            & ~F.col("robots_denied")
-                            & ~F.col("eligible")
-                        ),
-                        F.lit("deferred"),
-                        F.lit(-1),
-                    )
-                ),
-                "fetchlog",
-                wave,
+        # one projection of edges covers both non-fetch outcomes (the r1
+        # triple-union paid an extra scan + union for the same rows)
+        edge_log = log_cols(
+            edges.filter(_fresh1 & (F.col("robots_denied") | ~F.col("eligible"))),
+            F.when(F.col("robots_denied"), "robots_denied").otherwise("deferred"),
+            F.lit(-1),
+        )
+        obs_log = Observation(f"w{wave}_fetchlog")
+        fetchlog_out = (
+            log_cols(fetchpage, F.col("outcome"), F.col("partition_id"))
+            .unionByName(edge_log)
+            .observe(
+                obs_log,
+                F.count_if(F.col("outcome") == "miss").alias("n_miss"),
+                F.count_if(F.col("outcome") == "not_allowed").alias("n_not_allowed"),
+                F.count_if(F.col("outcome") == "too_large").alias("n_too_large"),
+                F.count_if(F.col("outcome") == "ok").alias("n_ok"),
             )
+        )
+        with self._phase("fetchlog"):
+            store.write(fetchlog_out, "fetchlog", wave)
+        lg = obs_log.get
+        m["n_miss"] = lg["n_miss"]
+        m["n_not_allowed"] = lg["n_not_allowed"]
+        m["n_too_large"] = lg["n_too_large"]
+        m["n_ok"] = lg["n_ok"]
+        m["n_fetched"] = lg["n_miss"] + lg["n_not_allowed"] + lg["n_too_large"] + lg["n_ok"]
         lineage: dict[int, int] = {}
-        if cfg.collect_metrics:
-            outcome_counts: dict[str, int] = {}
-            with self._phase("log-readback"):
-                for r in (
-                    store.read(spark, "fetchlog", wave)
-                    .groupBy("outcome", "partition_id")
-                    .count()
-                    .collect()
-                ):
-                    if r["outcome"] in ("robots_denied", "deferred"):
-                        continue
-                    outcome_counts[r["outcome"]] = (
-                        outcome_counts.get(r["outcome"], 0) + r["count"]
-                    )
-                    lineage[r["partition_id"]] = (
-                        lineage.get(r["partition_id"], 0) + r["count"]
-                    )
-            m["n_fetched"] = sum(outcome_counts.values())
-            m["n_miss"] = outcome_counts.get("miss", 0)
-            m["n_not_allowed"] = outcome_counts.get("not_allowed", 0)
-            m["n_too_large"] = outcome_counts.get("too_large", 0)
-            m["n_ok"] = outcome_counts.get("ok", 0)
+        if cfg.collect_metrics:  # per-partition lineage diagnostic (A5)
+            with self._phase("lineage-readback"):
+                lineage = {
+                    r["partition_id"]: r["count"]
+                    for r in fetchpage.groupBy("partition_id").count().collect()
+                }
 
         ok = fetchpage.filter(F.col("outcome") == "ok")
 
@@ -596,20 +636,21 @@ class CrawlEngine:
         deferred_edges = edges.filter(
             (F.col("edge_kind") == "fresh") & ~F.col("eligible") & ~F.col("robots_denied")
         ).select("linked_from", "url", "priority")
-        frontier_next = deferred_edges.withColumn(
-            "deferred", F.lit(True)
-        ).unionByName(new_edges.withColumn("deferred", F.lit(False)))
+        obs_next = Observation(f"w{wave}_frontier_next")
+        frontier_next = (
+            deferred_edges.withColumn("deferred", F.lit(True))
+            .unionByName(new_edges.withColumn("deferred", F.lit(False)))
+            .observe(
+                obs_next,
+                F.count(F.lit(1)).alias("n_next"),
+                F.count_if(~F.col("deferred")).alias("n_new_links"),
+            )
+        )
         with self._phase("frontier-write"):
             store.write(frontier_next, "frontier", wave + 1)
-        if cfg.collect_metrics:
-            next_counts = {
-                bool(r["deferred"]): r["count"]
-                for r in store.read(spark, "frontier", wave + 1)
-                .groupBy("deferred")
-                .count()
-                .collect()
-            }
-            m["n_new_links"] = next_counts.get(False, 0)
+        nx = obs_next.get
+        self._pending_frontier_count = nx["n_next"]
+        m["n_new_links"] = nx["n_new_links"]
 
         # --- metrics + per-partition lineage (A5) ----------------------------
         store.write_metrics(

@@ -67,6 +67,9 @@ class Page:
     content_length: int
     body: str
     spans: list[Span] = field(default_factory=list)
+    # optional Set-Cookie response ("name=value"): merged into the shared
+    # jar when fetched (reference brink.go:200-204, addCookies 267-274)
+    set_cookie: str | None = None
 
 
 @dataclass
@@ -209,10 +212,17 @@ def generate_site(scale: str = "tiny", seed: int = 42) -> SiteFixture:
                 href = rng.choice(_SPECIAL_HREFS)
             spans_raw.append(("link", href, None))
         rng.shuffle(spans_raw)
+        # <a target> on some links (reference Link parity). Derived from the
+        # href, NOT from an rng draw — keeps the site graph byte-identical to
+        # fixtures generated before the target field existed.
+        spans_raw = [
+            (k, t, m, "_blank" if k == "link" and len(t or "") % 4 == 0 else None)
+            for (k, t, m) in spans_raw
+        ]
         offset = 0
         spans: list[Span] = []
-        for kind, text, media_ref in spans_raw:
-            s = Span(kind, text, media_ref, offset)
+        for kind, text, media_ref, target in spans_raw:
+            s = Span(kind, text, media_ref, offset, target)
             spans.append(s)
             offset += s.content_len()
         p.spans = spans
@@ -281,6 +291,7 @@ def pages_to_parquet(fixture: SiteFixture, path: str, rows_per_file: int = 100_0
                 ("text", pa.string()),
                 ("media_ref", pa.string()),
                 ("offset", pa.int32()),
+                ("target", pa.string()),
             ]
         )
     )
@@ -310,7 +321,13 @@ def pages_to_parquet(fixture: SiteFixture, path: str, rows_per_file: int = 100_0
                 "body": [p.body for p in chunk],
                 "spans": [
                     [
-                        {"kind": s.kind, "text": s.text, "media_ref": s.media_ref, "offset": s.offset}
+                        {
+                            "kind": s.kind,
+                            "text": s.text,
+                            "media_ref": s.media_ref,
+                            "offset": s.offset,
+                            "target": s.target,
+                        }
                         for s in p.spans
                     ]
                     for p in chunk
@@ -346,18 +363,23 @@ def pages_to_spark(spark, fixture: SiteFixture):
             StructField("spans", SPANS_TYPE),
         ]
     )
-    rows = pd.DataFrame(
-        {
-            "url_norm": [p.url_norm for p in fixture.pages],
-            "url": [p.url for p in fixture.pages],
-            "host": [p.host for p in fixture.pages],
-            "scheme": [p.scheme for p in fixture.pages],
-            "status": [p.status for p in fixture.pages],
-            "content_length": [p.content_length for p in fixture.pages],
-            "body": [p.body for p in fixture.pages],
-            "spans": [[tuple(s) for s in p.spans] for p in fixture.pages],
-        }
-    )
+    data = {
+        "url_norm": [p.url_norm for p in fixture.pages],
+        "url": [p.url for p in fixture.pages],
+        "host": [p.host for p in fixture.pages],
+        "scheme": [p.scheme for p in fixture.pages],
+        "status": [p.status for p in fixture.pages],
+        "content_length": [p.content_length for p in fixture.pages],
+        "body": [p.body for p in fixture.pages],
+        "spans": [[tuple(s) for s in p.spans] for p in fixture.pages],
+    }
+    # set_cookie column only when the fixture actually sets cookies — its
+    # presence is what arms the engine's per-wave jar merge (no cost when
+    # no page sets cookies)
+    if any(p.set_cookie is not None for p in fixture.pages):
+        schema = schema.add(StructField("set_cookie", StringType()))
+        data["set_cookie"] = [p.set_cookie for p in fixture.pages]
+    rows = pd.DataFrame(data)
     return spark.createDataFrame(rows, schema=schema)
 
 

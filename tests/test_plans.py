@@ -106,11 +106,12 @@ def test_anti_join_on_uniform_key(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
-def test_fetch_repartition_modulus_scales(spark, tmp_path):
-    """The fetch-stage salt modulus must not be a fixed constant (the r1
-    lit(64) capped a 4N-executor cluster at 64-way parallelism): it derives
-    from shuffle partitions / defaultParallelism / worker-count and obeys an
-    explicit override."""
+def test_fetch_repartition_has_no_parallelism_ceiling(spark, tmp_path):
+    """The fetch-stage salt must not cap parallelism (the r1 lit(64) modulus
+    capped a 4N-executor cluster at 64-way): the salt key is the raw 64-bit
+    hash (unbounded cardinality) and the partition count is AQE-managed by
+    default, worker-count may only RAISE the floor, and an explicit
+    fetch-partitions override wins."""
     from brink_spark.config import CrawlConfig
     from brink_spark.plans.crawl import CrawlEngine
 
@@ -118,11 +119,11 @@ def test_fetch_repartition_modulus_scales(spark, tmp_path):
     eng = CrawlEngine(spark, base, str(tmp_path / "s1"))
     shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     natural = max(shuffle, spark.sparkContext.defaultParallelism)
-    assert eng.fetch_partition_count() == natural
+    assert eng.fetch_partition_count() == 0  # AQE-managed
 
-    # worker-count is a floor-raising hint, never a cap below the cluster
+    # worker-count below the cluster's natural parallelism never caps
     small = CrawlEngine(spark, base.with_(worker_count=2), str(tmp_path / "s2"))
-    assert small.fetch_partition_count() == natural
+    assert small.fetch_partition_count() == 0
     big = CrawlEngine(spark, base.with_(worker_count=natural * 8), str(tmp_path / "s3"))
     assert big.fetch_partition_count() == natural * 8
 
@@ -130,14 +131,13 @@ def test_fetch_repartition_modulus_scales(spark, tmp_path):
     exp = CrawlEngine(spark, base.with_(fetch_partitions=1024), str(tmp_path / "s4"))
     assert exp.fetch_partition_count() == 1024
 
-    # and the physical plan actually uses it: the exchange is n-way hash
-    # partitioning on the salt, not a 64-key constant
+    # the salt expression has full 64-bit cardinality: distinct salt values
+    # track distinct (host, url_norm) pairs, not a 64-value modulus
     from pyspark.sql import functions as F
 
-    df = spark.range(100).select(
+    df = spark.range(500).select(
         F.concat(F.lit("h"), F.col("id") % 7).alias("host"),
         F.concat(F.lit("https://h/p"), F.col("id")).alias("url_norm"),
     )
-    n = eng.fetch_partition_count()
-    rep = df.repartition(n, F.pmod(F.xxhash64("host", "url_norm"), F.lit(n)).cast("int"))
-    assert rep.rdd.getNumPartitions() == n
+    n_salts = df.select(F.xxhash64("host", "url_norm").alias("s")).distinct().count()
+    assert n_salts == 500

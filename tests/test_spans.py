@@ -46,7 +46,10 @@ def test_parse_spans_udf_matches_kernel(spark, tiny_fixture):
     ).withColumn("spans", parse_spans_udf("body"))
     got = {r["url_norm"]: r["spans"] for r in df.collect()}
     for p in sample:
-        parsed = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in got[p.url_norm]]
+        parsed = [
+            (s["kind"], s["text"], s["media_ref"], s["offset"], s["target"])
+            for s in got[p.url_norm]
+        ]
         want = [tuple(s) for s in p.spans]
         assert parsed == want, p.url_norm
 
@@ -56,3 +59,28 @@ def test_parse_spans_udf_null_body(spark):
     rows = df.withColumn("spans", parse_spans_udf("body")).collect()
     assert rows[0]["spans"] is None
     assert [s["text"] for s in rows[1]["spans"]] == ["x"]
+
+
+def test_target_captured_through_span_path():
+    """<a target> flows through the SPAN model, not just the links_in
+    kernel (reference Link parity, urls.go:34-38,92-93): golden
+    target_blank case + round-trip of a rendered target."""
+    from brink_spark.functions.spans import Span, parse_spans, render_html
+
+    html = (
+        '<html><header><title>T</title></header><body>'
+        '<a href="google.com" target="_blank">Hello world</a>'
+        '<a href="liferay.com">Whatsup</a></body></html>'
+    )
+    links = [s for s in parse_spans(html) if s.kind == "link"]
+    assert [(s.text, s.target) for s in links] == [
+        ("google.com", "_blank"),
+        ("liferay.com", None),
+    ]
+
+    spans = [
+        Span("text", "hello", None, 0),
+        Span("link", "/p1", None, 5, "_blank"),
+        Span("link", "/p2", None, 8),
+    ]
+    assert parse_spans(render_html(spans)) == spans
