@@ -141,3 +141,21 @@ def test_fetch_repartition_has_no_parallelism_ceiling(spark, tmp_path):
     )
     n_salts = df.select(F.xxhash64("host", "url_norm").alias("s")).distinct().count()
     assert n_salts == 500
+
+
+def test_lsh_neardup_plan_is_bucket_join(spark):
+    """The LSH near-dup candidate stage must be a hash-partitioned equi-join
+    on the bucket key — never a nested-loop / cartesian over vectors."""
+    from brink_spark.queries.pipeline import q_embed_neardup_lsh
+
+    plan = _codegen(q_embed_neardup_lsh(spark, SF.replace("sf0.01", "sf0.001")))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_topk_rerank_plan_is_bucket_join(spark):
+    from brink_spark.queries.pipeline import q_ann_lsh_topk
+
+    plan = _codegen(q_ann_lsh_topk(spark, SF.replace("sf0.01", "sf0.001")))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
