@@ -102,6 +102,24 @@ def prepare() -> None:
     n_frontier = store.read(spark, "frontier", 1).count()
     n_visited = store.read(spark, "visited", 0).count()
     print(f"# template: frontier={n_frontier} visited={n_visited}", file=sys.stderr)
+
+    # materialize the wave-1 edges table for the fetch-stage-only harness
+    # (run_fetch_level times fetch_stage alone over TEMPLATE/edges_stage)
+    from brink_spark.config import CrawlConfig
+    from brink_spark.plans.crawl import CrawlEngine
+
+    edge_store = f"{WORK}/store_edges_prep"
+    shutil.rmtree(edge_store, ignore_errors=True)
+    shutil.copytree(TEMPLATE, edge_store)
+    eng = CrawlEngine(
+        spark, fx.config.with_(collect_metrics=False), edge_store,
+        pages=pages_r, robots=spark.read.parquet(ROBOTS),
+    )
+    eng.run(resume=True, max_waves=2)
+    shutil.copytree(f"{edge_store}/edges/wave=1", f"{TEMPLATE}/edges_stage")
+    n_edges = spark.read.parquet(f"{TEMPLATE}/edges_stage").count()
+    shutil.rmtree(edge_store, ignore_errors=True)
+    print(f"# edges_stage: {n_edges} edges", file=sys.stderr)
     spark.stop()
 
 
