@@ -95,12 +95,16 @@ BAND_BUCKET_CAP = 200
 
 
 def _capped_shingles(spark, sf) -> DataFrame:
+    # window count over sh = ONE shuffle on the same key the self-join
+    # uses next (a groupBy + semi-join costs a second scan + second
+    # shuffle; measured ~1.8x slower at sf0.1)
     sh = _shingles(spark, sf)
-    rare = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).filter(
-        F.col("df") <= SHINGLE_DF_CAP
+    w = Window.partitionBy("sh")
+    return (
+        sh.withColumn("_df", F.count(F.lit(1)).over(w))
+        .filter(F.col("_df") <= SHINGLE_DF_CAP)
+        .drop("_df")
     )
-    # semi join keys on sh — co-partitioned with the downstream self-join
-    return sh.join(rare.select("sh"), "sh", "left_semi")
 
 
 _SQL_CAPPED_SHINGLES = f"""
@@ -179,14 +183,15 @@ def q_dedup_minhash_lsh(spark, sf):
     )
     # band-bucket cap: a (band, mh) bucket with > BAND_BUCKET_CAP members is
     # boilerplate-dominated — drop it before the quadratic in-bucket pairing
-    # (same predicate in the oracle; never binds at test SF)
-    small = (
-        sig.groupBy("band", "mh")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") <= BAND_BUCKET_CAP)
-        .select("band", "mh")
+    # (same predicate in the oracle; never binds at test SF). Window count =
+    # one shuffle on the join key, no second scan.
+    sig = (
+        sig.withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy("band", "mh"))
+        )
+        .filter(F.col("_n") <= BAND_BUCKET_CAP)
+        .drop("_n")
     )
-    sig = sig.join(small, ["band", "mh"], "left_semi")
     a = sig.alias("a")
     b = sig.alias("b")
     return (
