@@ -33,7 +33,10 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "embed_neardup",
+    "embed_neardup_lsh",
     "ann_lsh_buckets",
+    "ann_lsh_topk",
+    "span_explode",
 ]
 
 CRAWL_WAVES = 10
