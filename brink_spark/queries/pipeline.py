@@ -163,21 +163,35 @@ WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
 
 
 def q_dedup_minhash_lsh(spark, sf):
-    """MinHash (4 bands × 1 row) + LSH banding: docs agreeing on a band's
-    min-hash become candidate pairs. Signature = lexicographic min of
-    salted md5(shingle) — engine-identical, permutation-proxy."""
+    """MinHash + LSH banding, b=4 bands × r=2 rows (8 independent
+    permutation proxies): a band's signature is the concat of its two rows'
+    min-hashes, so docs pair only when BOTH rows agree — the textbook
+    (1/b)^(1/r) = 0.5 Jaccard threshold, matching q_dedup_ngram_jaccard's
+    0.5 cut. Permutation proxy = lexicographic min of salted md5(shingle),
+    engine-identical (ASCII order). One exploded-shingle shuffle feeds all
+    8 permutations; banding needs no extra shuffle (same doc_id key)."""
     sh = _shingles(spark, sf)
-    bands = spark.range(4).select(F.col("id").cast("int").alias("band"))
-    sig = (
-        sh.crossJoin(F.broadcast(bands))
-        .groupBy("doc_id", "band")
+    perms = spark.range(8).select(F.col("id").cast("int").alias("perm"))
+    mins = (
+        sh.crossJoin(F.broadcast(perms))
+        .groupBy("doc_id", "perm")
         .agg(
             F.min(
                 F.substring(
-                    F.md5(F.concat(F.col("band").cast("string"), F.lit("|"), F.col("sh"))),
+                    F.md5(F.concat(F.col("perm").cast("string"), F.lit("|"), F.col("sh"))),
                     1,
                     12,
                 )
+            ).alias("mh")
+        )
+    )
+    sig = (
+        mins.withColumn("band", (F.col("perm") / 2).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat(
+                F.max(F.when(F.col("perm") % 2 == 0, F.col("mh"))),
+                F.max(F.when(F.col("perm") % 2 == 1, F.col("mh"))),
             ).alias("mh")
         )
     )
@@ -208,11 +222,17 @@ def q_dedup_minhash_lsh(spark, sf):
 
 SQL_MINHASH_LSH = f"""
 WITH {_SQL_SHINGLES},
+mins AS (
+  SELECT doc_id, p.perm,
+         MIN(substr(md5(CAST(p.perm AS VARCHAR) || '|' || sh), 1, 12)) AS mh
+  FROM shingles
+  CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) AS p(perm)
+  GROUP BY doc_id, p.perm),
 sig0 AS (
-  SELECT doc_id, b.band,
-         MIN(substr(md5(CAST(b.band AS VARCHAR) || '|' || sh), 1, 12)) AS mh
-  FROM shingles CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band)
-  GROUP BY doc_id, b.band),
+  SELECT doc_id, CAST(perm // 2 AS INT) AS band,
+         MAX(CASE WHEN perm % 2 = 0 THEN mh END)
+         || MAX(CASE WHEN perm % 2 = 1 THEN mh END) AS mh
+  FROM mins GROUP BY doc_id, perm // 2),
 sig AS (
   SELECT s.* FROM sig0 s
   JOIN (SELECT band, mh FROM sig0 GROUP BY band, mh
