@@ -588,6 +588,87 @@ SELECT query_id, neighbor_id, rank FROM (
 """
 
 
+def q_ann_ivf_topk(spark, sf):
+    """IVF-style ANN, the other scale path next to LSH: assign every vector
+    to its nearest of 16 centroids (inverted lists), queries probe their
+    nprobe=2 nearest lists, exact-cosine re-rank to top-5. Centroids are a
+    deterministic selection (vec_id < 16) standing in for offline k-means —
+    training is out of scope for an oracle-checked query; the
+    assign/probe/re-rank dataflow is the production IVF shape (at scale:
+    centroids broadcast, one shuffle on cent_id to build lists, probe join
+    touches nprobe/nlist of the data instead of all of it)."""
+    e = _emb_double(spark, sf).withColumn("nrm", F.expr(_NORM))
+    cents = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cent_id"), F.col("e").alias("ce"), F.col("nrm").alias("cn")
+    )
+    dotc = "aggregate(zip_with(e, ce, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    scored = e.crossJoin(F.broadcast(cents)).withColumn(
+        "ccos", F.expr(dotc) / (F.col("nrm") * F.col("cn"))
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.col("cent_id"))
+    ranked = scored.withColumn("crank", F.row_number().over(wv))
+    assign = ranked.filter(F.col("crank") == 1).select("vec_id", "cent_id")
+    probes = (
+        ranked.filter((F.col("vec_id") < 10) & (F.col("crank") <= 2))
+        .select(F.col("vec_id").alias("query_id"), "cent_id")
+    )
+    cands = (
+        probes.join(assign, "cent_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    va = e.select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("ea"), F.col("nrm").alias("na")
+    )
+    vb = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
+    )
+    dot = "aggregate(zip_with(ea, eb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    scored2 = (
+        cands.join(va, "query_id")
+        .join(vb, "neighbor_id")
+        .withColumn("cosine", F.expr(dot) / (F.col("na") * F.col("nb")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        scored2.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+_SQL_DOTC = """
+(SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+ FROM (SELECT unnest(v.embedding) AS x, unnest(c.embedding) AS y))
+"""
+
+SQL_ANN_IVF_TOPK = f"""
+WITH n AS (SELECT vec_id, embedding, {_SQL_NRM} AS nrm FROM embeddings),
+ranked AS (
+  SELECT v.vec_id, c.vec_id AS cent_id,
+         ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                            ORDER BY {_SQL_DOTC} / (v.nrm * c.nrm) DESC,
+                                     c.vec_id) AS crank
+  FROM n v CROSS JOIN n c WHERE c.vec_id < 16),
+assign AS (SELECT vec_id, cent_id FROM ranked WHERE crank = 1),
+probes AS (SELECT vec_id AS query_id, cent_id FROM ranked
+           WHERE vec_id < 10 AND crank <= 2),
+cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a USING (cent_id)
+  WHERE p.query_id <> a.vec_id),
+scored AS (
+  SELECT query_id, neighbor_id, {_SQL_DOT} / (a.nrm * b.nrm) AS cosine
+  FROM cand JOIN n a ON a.vec_id = query_id JOIN n b ON b.vec_id = neighbor_id)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored) WHERE rank <= 5
+"""
+
+
 # --------------------------------------------------------------------------
 # text analysis
 
@@ -666,6 +747,90 @@ SQL_FINGERPRINT = r"""
 SELECT substr(md5(substr(regexp_replace(lower(text), '\s+', ' ', 'g'), 1, 64)), 1, 16) AS fp,
        COUNT(*) AS n_docs, MIN(doc_id) AS rep_doc_id
 FROM documents GROUP BY 1
+"""
+
+
+# BPE-ish regex tokenizer: letter runs | digit runs | single punctuation —
+# the pre-tokenization split GPT-2-style BPE applies before merges. Kept to
+# the regex subset Java (Spark) and RE2 (DuckDB) treat identically.
+_BPE_PAT = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def q_token_bpe_stats(spark, sf):
+    """Token counting with a BPE-ish regex (vs whitespace): per lang, doc
+    count, whitespace-token total, regex-token total, and the expansion
+    ratio ×100 — the fertility metric a tokenizer-budget pipeline tracks."""
+    d = _docs(spark, sf)
+    w = F.split("text", " ")
+    bpe = F.expr(f"regexp_extract_all(text, '{_BPE_PAT}', 0)")
+    per_doc = d.select(
+        "lang", F.size(w).alias("n_ws"), F.size(bpe).alias("n_bpe")
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_ws").alias("total_ws_tokens"),
+        F.sum("n_bpe").alias("total_bpe_tokens"),
+        F.floor(F.sum("n_bpe") * 100 / F.sum("n_ws")).alias("bpe_per_ws_x100"),
+    )
+
+
+SQL_TOKEN_BPE = f"""
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '{_BPE_PAT}'))) AS BIGINT)
+           AS total_bpe_tokens,
+       CAST(FLOOR(SUM(len(regexp_extract_all(text, '{_BPE_PAT}'))) * 100.0
+                  / SUM(len(string_split(text, ' ')))) AS BIGINT)
+           AS bpe_per_ws_x100
+FROM documents GROUP BY lang
+"""
+
+
+# Rabin-Karp-style rolling hash over the word sequence: per-word value from
+# md5 nibbles (engine-identical), folded as acc*31 + v (mod 2^31-1 keeps
+# every intermediate below 2^36 — safe for BIGINT in both engines, which
+# differ on overflow: Spark wraps, DuckDB raises).
+_ROLL_MOD = 2147483647
+
+
+def q_doc_rolling_hash(spark, sf):
+    """Order-sensitive document fingerprint (vs the order-free md5-prefix
+    fingerprint): equal only for documents with the same word SEQUENCE."""
+    d = _docs(spark, sf)
+    w = F.split("text", " ")
+    nib = (
+        "(instr('0123456789abcdef', substring(md5(t), {j}, 1)) - 1)"
+    )
+    val = f"((({nib.format(j=1)} * 16 + {nib.format(j=2)}) * 16 + {nib.format(j=3)}) * 16 + {nib.format(j=4)})"
+    rolling = F.expr(
+        "aggregate(transform(split(text, ' '), t -> cast("
+        + val
+        + f" as bigint)), cast(0 as bigint), (acc, v) -> (acc * 31 + v) % {_ROLL_MOD})"
+    )
+    return (
+        d.select("doc_id", rolling.alias("rhash"))
+        .groupBy("rhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("rep_doc_id"))
+    )
+
+
+_SQL_NIBW = "(strpos('0123456789abcdef', substr(md5(t), {j}, 1)) - 1)"
+_SQL_WVAL = (
+    f"((({_SQL_NIBW.format(j=1)} * 16 + {_SQL_NIBW.format(j=2)}) * 16 "
+    f"+ {_SQL_NIBW.format(j=3)}) * 16 + {_SQL_NIBW.format(j=4)})"
+)
+
+SQL_ROLLING_HASH = f"""
+WITH h AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(text, ' '),
+                            t -> CAST({_SQL_WVAL} AS BIGINT))),
+           (acc, v) -> (acc * 31 + v) % {_ROLL_MOD}) AS rhash
+  FROM documents)
+SELECT rhash, COUNT(*) AS n_docs, MIN(doc_id) AS rep_doc_id
+FROM h GROUP BY rhash
 """
 
 
@@ -808,10 +973,13 @@ PIPELINE_QUERIES = {
     "ann_bruteforce_topk": (q_ann_bruteforce_topk, SQL_ANN_TOPK),
     "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_ANN_LSH),
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
+    "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
     "span_explode": (q_span_explode, SQL_SPAN_EXPLODE),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),
     "doc_fingerprint": (q_doc_fingerprint, SQL_FINGERPRINT),
+    "doc_rolling_hash": (q_doc_rolling_hash, SQL_ROLLING_HASH),
     "token_stats_by_lang": (q_token_stats_by_lang, SQL_TOKEN_STATS),
+    "token_bpe_stats": (q_token_bpe_stats, SQL_TOKEN_BPE),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
 }
