@@ -36,7 +36,9 @@ HEADLINE = [
     "embed_neardup_lsh",
     "ann_lsh_buckets",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "span_explode",
+    "doc_rolling_hash",
 ]
 
 CRAWL_WAVES = 10

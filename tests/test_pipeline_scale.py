@@ -164,3 +164,21 @@ def test_band_bucket_cap_drops_megabucket(spark, tmp_path_factory):
     d = tmp_path_factory.mktemp("identical")
     df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
     assert q_dedup_minhash_lsh(spark, str(d)).count() == 0
+
+
+def test_ann_ivf_topk_is_sound(spark):
+    """IVF re-rank is exact on its candidate set: any IVF pair that also
+    appears in the brute-force top-5 can only have an equal-or-better IVF
+    rank (candidates are a subset of all vectors)."""
+    from brink_spark.queries.pipeline import q_ann_bruteforce_topk, q_ann_ivf_topk
+
+    ivf = q_ann_ivf_topk(spark, SF_SMALL).collect()
+    assert len(ivf) > 0
+    brute = {
+        (r["query_id"], r["neighbor_id"]): r["rank"]
+        for r in q_ann_bruteforce_topk(spark, SF_SMALL).collect()
+    }
+    for r in ivf:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in brute:
+            assert r["rank"] <= brute[key]
