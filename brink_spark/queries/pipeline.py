@@ -732,6 +732,48 @@ FROM documents GROUP BY 1, 2
 """
 
 
+# English-profile character bigrams (most frequent in English text) — the
+# classic n-gram language-ID signal. With one shared vocabulary across the
+# fixture's lang labels the scores don't separate classes; the query's
+# point is the n-gram statistic machinery (substring-occurrence counting
+# is engine-identical via length/replace arithmetic).
+_LANGID_BIGRAMS = ("th", "he", "in", "er", "an", "re")
+
+
+def q_text_langid_ngram(spark, sf):
+    """N-gram language-ID signal: per lang, profile-bigram hits per 1000
+    chars (occurrences counted via length-difference after replace —
+    overlap-free, identical in both engines)."""
+    d = _docs(spark, sf)
+    hits = sum(
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(bg), F.lit(""))))
+        / 2
+        for bg in _LANGID_BIGRAMS
+    )
+    per_doc = d.select("lang", hits.cast("bigint").alias("hits"), F.length("text").alias("nc"))
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("hits").alias("total_hits"),
+        F.floor(F.sum("hits") * 1000 / F.sum("nc")).alias("hits_per_kchar"),
+    )
+
+
+_SQL_BIGRAM_HITS = " + ".join(
+    f"(length(text) - length(replace(text, '{bg}', ''))) / 2"
+    for bg in _LANGID_BIGRAMS
+)
+
+SQL_TEXT_LANGID_NGRAM = f"""
+WITH per_doc AS (
+  SELECT lang, CAST({_SQL_BIGRAM_HITS} AS BIGINT) AS hits, length(text) AS nc
+  FROM documents)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(hits) AS BIGINT) AS total_hits,
+       CAST(FLOOR(SUM(hits) * 1000.0 / SUM(nc)) AS BIGINT) AS hits_per_kchar
+FROM per_doc GROUP BY lang
+"""
+
+
 def q_doc_fingerprint(spark, sf):
     """Document fingerprint: md5 of the normalized 64-char prefix."""
     d = _docs(spark, sf)
@@ -851,6 +893,107 @@ SELECT lang, COUNT(*) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        MAX(len(string_split(text, ' '))) AS max_tokens
 FROM documents GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# the composed training-data pipeline: quality -> exact dedup -> near-dup
+
+
+def q_pipeline_end_to_end(spark, sf):
+    """The full pre-training data pipeline as ONE dataflow: quality gate
+    (>= 20 tokens, >= 1 stopword) -> exact dedup (keep min doc_id per
+    md5(text)) -> near-dup removal (drop the doc_b of every capped-shingle
+    Jaccard >= 0.5 pair) -> per-lang kept-doc and kept-token totals. Every
+    stage is a shuffle-bounded composition of the individual operators
+    above — the shape a 100 TB corpus-cleaning job actually runs."""
+    d = _docs(spark, sf)
+    w = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    quality = d.filter(
+        (F.size(w) >= 20)
+        & (F.size(F.filter(w, lambda t: F.array_contains(stop_arr, t))) >= 1)
+    )
+    exact = quality.withColumn(
+        "_rep", F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    ).filter(F.col("doc_id") == F.col("_rep"))
+
+    sh = exact.select("doc_id", F.split("text", " ").alias("w")).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 2),
+                    lambda i: F.concat_ws(" ", F.slice("w", i, 3)),
+                )
+            )
+        ).alias("sh"),
+    )
+    sh = (
+        sh.withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("sh")))
+        .filter(F.col("_df") <= SHINGLE_DF_CAP)
+        .drop("_df")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    drop_ids = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")) >= 0.5
+        )
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    final = exact.join(drop_ids, "doc_id", "left_anti")
+    return final.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum(F.size(F.split("text", " "))).alias("total_tokens_kept"),
+    )
+
+
+_SQL_STOPLIST = "('" + "','".join(_STOPWORDS) + "')"
+
+SQL_PIPELINE_E2E = f"""
+WITH quality AS (
+  SELECT * FROM documents
+  WHERE len(string_split(text, ' ')) >= 20
+    AND len(list_filter(string_split(text, ' '), t -> t IN {_SQL_STOPLIST})) >= 1),
+exact AS (
+  SELECT * FROM (SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep
+                 FROM quality)
+  WHERE doc_id = rep),
+words AS (SELECT doc_id, string_split(text, ' ') AS w FROM exact),
+shingles AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS sh
+  FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3),
+capped AS (
+  SELECT doc_id, sh FROM (
+    SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY sh) AS df FROM shingles)
+  WHERE df <= {SHINGLE_DF_CAP}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM capped GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+drop_ids AS (
+  SELECT DISTINCT doc_b AS doc_id FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5),
+final AS (SELECT e.* FROM exact e
+          WHERE NOT EXISTS (SELECT 1 FROM drop_ids x WHERE x.doc_id = e.doc_id))
+SELECT lang, COUNT(*) AS n_docs_kept,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens_kept
+FROM final GROUP BY lang
 """
 
 
@@ -977,6 +1120,8 @@ PIPELINE_QUERIES = {
     "span_explode": (q_span_explode, SQL_SPAN_EXPLODE),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),
+    "text_langid_ngram": (q_text_langid_ngram, SQL_TEXT_LANGID_NGRAM),
+    "pipeline_end_to_end": (q_pipeline_end_to_end, SQL_PIPELINE_E2E),
     "doc_fingerprint": (q_doc_fingerprint, SQL_FINGERPRINT),
     "doc_rolling_hash": (q_doc_rolling_hash, SQL_ROLLING_HASH),
     "token_stats_by_lang": (q_token_stats_by_lang, SQL_TOKEN_STATS),
