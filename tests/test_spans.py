@@ -84,3 +84,39 @@ def test_target_captured_through_span_path():
         Span("link", "/p2", None, 8),
     ]
     assert parse_spans(render_html(spans)) == spans
+
+
+def test_render_parse_roundtrip_property():
+    """Property: render_html/parse_spans round-trip exactly for any span
+    sequence the generator could emit (arbitrary content incl. HTML-special
+    chars — escaping must be lossless; targets optional on links)."""
+    from hypothesis import given, settings, strategies as st
+
+    from brink_spark.functions.spans import Span, parse_spans, render_html
+
+    content = st.text(
+        alphabet=st.sampled_from(list("abc <>&\"'é中!./:=")), min_size=1, max_size=30
+    )
+    ref = st.from_regex(r"img://[a-z]{1,8}/[a-z0-9]{1,8}\.png", fullmatch=True)
+    span_raw = st.one_of(
+        st.tuples(st.just("text"), content, st.none(), st.none()),
+        st.tuples(st.just("media"), st.none(), ref, st.none()),
+        st.tuples(
+            st.just("link"),
+            content,
+            st.none(),
+            st.one_of(st.none(), st.just("_blank"), st.just("_self")),
+        ),
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(span_raw, max_size=8))
+    def _check(raws):
+        spans, off = [], 0
+        for kind, text, media_ref, target in raws:
+            s = Span(kind, text, media_ref, off, target)
+            spans.append(s)
+            off += s.content_len()
+        assert parse_spans(render_html(spans)) == spans
+
+    _check()
