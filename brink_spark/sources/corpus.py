@@ -1,0 +1,67 @@
+"""Crawl store -> training-corpus bridge.
+
+Turns a crawl's results tables into the ``documents`` shape the pipeline
+operators (dedup / similarity / quality / token stats, queries/pipeline.py)
+consume, so one engine covers the whole path: crawl the web -> assemble the
+corpus -> clean it. All native column expressions over the span arrays:
+
+- one row per FETCHED document (row_kind='fetched'; cached re-dispatches
+  and dup edges carry no body),
+- ``text``   = the document's text spans joined in document order,
+- ``doc_id`` = xxhash64(url_norm) — deterministic, join-stable,
+- ``lang``   = the stopword-density heuristic (en-like/other; a real
+  deployment swaps in a model-based identifier at this column),
+- ``n_chars``, plus provenance (url_norm, wave) and media/link span counts.
+
+Write with ``corpus_to_dir`` and every queries/pipeline.py operator runs on
+the output unchanged (they read ``{dir}/documents.parquet``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for")
+
+
+def corpus_from_store(spark, store_dir: str, n_waves: int) -> DataFrame:
+    """documents-shaped DataFrame from waves [0, n_waves) of a crawl store."""
+    res = spark.read.parquet(
+        *[f"{store_dir}/results/wave={w}" for w in range(n_waves)]
+    ).filter(F.col("row_kind") == "fetched")
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            F.filter("spans", lambda s: s["kind"] == F.lit("text")),
+            lambda s: s["text"],
+        ),
+    )
+    w = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    density = (
+        F.size(F.filter(w, lambda t: F.array_contains(stop_arr, t))) * 100 / F.size(w)
+    )
+    return (
+        res.select(
+            F.xxhash64("url_norm").alias("doc_id"),
+            text.alias("text"),
+            "url_norm",
+            "wave",
+            F.size(F.filter("spans", lambda s: s["kind"] == F.lit("media"))).alias(
+                "n_media"
+            ),
+            F.size(F.filter("spans", lambda s: s["kind"] == F.lit("link"))).alias(
+                "n_links"
+            ),
+        )
+        .withColumn("lang", F.when(density >= 10, "en-like").otherwise("other"))
+        .withColumn("n_chars", F.length("text").cast("long"))
+    )
+
+
+def corpus_to_dir(spark, store_dir: str, n_waves: int, out_dir: str) -> int:
+    """Materialize the corpus as ``{out_dir}/documents.parquet`` — the layout
+    every pipeline query reads. Returns the document count."""
+    df = corpus_from_store(spark, store_dir, n_waves)
+    df.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+    return spark.read.parquet(f"{out_dir}/documents.parquet").count()
