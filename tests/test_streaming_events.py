@@ -1,0 +1,54 @@
+"""Structured Streaming surface over the events table: a file-stream with
+watermarked tumbling windows must converge to the batch answer once the
+stream drains (the brief's watermark + windowed-agg shape, next to the
+frontier-stream tests that cover the crawl loop)."""
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_streaming_tumbling_matches_batch(spark, tmp_path):
+    # events.ts is TIMESTAMP_NTZ; watermarks require event time with a
+    # timezone-bearing TIMESTAMP — cast identically on both sides
+    batch = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n_events")
+    )
+    want = {(r["ws"], r["event_type"]): r["n_events"] for r in batch.collect()}
+
+    # the file-stream source needs a DIRECTORY (testdata ships single
+    # parquet files) — stage the file into one
+    import shutil
+
+    src_dir = tmp_path / "events_in"
+    src_dir.mkdir()
+    shutil.copy(f"{SF}/events.parquet", src_dir / "part-0.parquet")
+
+    schema = spark.read.parquet(f"{SF}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(str(src_dir))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n_events")
+    )
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("ev_tumbling")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["ws"], r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM ev_tumbling").collect()
+    }
+    assert got == want
