@@ -438,6 +438,72 @@ SELECT host, url_norm, priority, rn FROM ranked WHERE rn <= 10
 """
 
 
+def q_graph_pagerank(spark, sf):
+    """Iterative graph algorithm under the hard driver gate: 3 unrolled
+    PageRank iterations over a deterministic link graph synthesized from
+    events (src = event_id%997 -> dst = (event_id*7+13)%997). All-integer
+    arithmetic (ranks in millionths, damping 85/100 via integer division)
+    so both engines are bit-exact with NO floating point — the crawl's
+    link-graph ranking shape (frontier prioritization by link authority).
+    At scale each iteration is one shuffle on dst; Spark's `div` and
+    DuckDB's `//` are the same floor division on non-negative BIGINTs."""
+    e = _t(spark, sf, "events")
+    edges = e.select(
+        F.pmod("event_id", F.lit(997)).alias("src"),
+        F.pmod(F.col("event_id") * 7 + 13, F.lit(997)).alias("dst"),
+    ).distinct()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ranks = nodes.withColumn("rank", F.lit(1_000_000).cast("bigint"))
+    for _ in range(3):
+        contrib = (
+            edges.join(deg, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .select("dst", F.expr("rank div d").alias("c"))
+        )
+        insum = contrib.groupBy("dst").agg(F.sum("c").alias("insum"))
+        ranks = nodes.join(
+            insum.withColumnRenamed("dst", "node"), "node", "left"
+        ).select(
+            "node",
+            (
+                F.lit(150_000)
+                + F.expr("(85 * coalesce(insum, 0L)) div 100")
+            ).cast("bigint").alias("rank"),
+        )
+    return ranks.select("node", F.col("rank").alias("rank_x1e6"))
+
+
+def _sql_pr_iter(prev: str, out: str) -> str:
+    return f"""
+{out} AS (
+  SELECT n.node,
+         CAST(150000 + (85 * COALESCE(s.insum, 0)) // 100 AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank // d.d) AS insum
+    FROM edges e JOIN deg d ON d.src = e.src JOIN {prev} r ON r.node = e.src
+    GROUP BY e.dst) s ON s.node = n.node)"""
+
+
+SQL_PAGERANK = f"""
+WITH edges AS (
+  SELECT DISTINCT event_id % 997 AS src, (event_id * 7 + 13) % 997 AS dst
+  FROM events),
+nodes AS (SELECT DISTINCT src AS node FROM edges
+          UNION SELECT DISTINCT dst FROM edges),
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+{_sql_pr_iter("r0", "r1")},
+{_sql_pr_iter("r1", "r2")},
+{_sql_pr_iter("r2", "r3")}
+SELECT node, rank AS rank_x1e6 FROM r3
+"""
+
+
 RELATIONAL_QUERIES = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE_NATION),
@@ -452,4 +518,5 @@ RELATIONAL_QUERIES = {
     "frontier_anti_join": (q_frontier_anti_join, SQL_FRONTIER_ANTI),
     "cached_dispatch": (q_cached_dispatch, SQL_CACHED),
     "politeness_topk": (q_politeness_topk, SQL_POLITENESS),
+    "graph_pagerank": (q_graph_pagerank, SQL_PAGERANK),
 }
