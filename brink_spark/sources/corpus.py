@@ -59,6 +59,21 @@ def corpus_from_store(spark, store_dir: str, n_waves: int) -> DataFrame:
     )
 
 
+def linkgraph_from_store(spark, store_dir: str, n_waves: int) -> DataFrame:
+    """(src, dst) link-graph edges from a crawl store: every handler row's
+    linked_from -> url_norm (seed rows excluded). Feed to a ranking job
+    (e.g. the integer PageRank in queries/relational.py) to prioritize the
+    frontier by link authority."""
+    res = spark.read.parquet(
+        *[f"{store_dir}/results/wave={w}" for w in range(n_waves)]
+    )
+    return (
+        res.filter(F.col("linked_from") != "start")
+        .select(F.col("linked_from").alias("src"), F.col("url_norm").alias("dst"))
+        .distinct()
+    )
+
+
 def corpus_to_dir(spark, store_dir: str, n_waves: int, out_dir: str) -> int:
     """Materialize the corpus as ``{out_dir}/documents.parquet`` — the layout
     every pipeline query reads. Returns the document count."""

@@ -46,3 +46,41 @@ def test_pipeline_operators_run_on_crawl_corpus(spark, corpus_dir):
     assert sum(r["n_docs"] for r in stats) == n
     fp = q_doc_fingerprint(spark, out)
     assert fp.agg(F.sum("n_docs")).first()[0] == n
+
+
+def test_linkgraph_from_store_ranks(spark, tiny_run):
+    """Link-graph edges from the crawl store feed a PageRank-style ranking
+    (frontier prioritization by link authority)."""
+    from brink_spark.sources.corpus import linkgraph_from_store
+
+    engine, summary = tiny_run
+    edges = linkgraph_from_store(spark, engine.store.root, len(summary.wave_metrics))
+    n_edges = edges.count()
+    assert n_edges > 0
+    assert edges.filter(F.col("src") == "start").count() == 0
+    # 3 integer-PageRank iterations over the real crawl graph: every node
+    # ranked, totals deterministic
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    nodes = edges.select(F.col("src").alias("node")).union(
+        edges.select(F.col("dst").alias("node"))
+    ).distinct()
+    ranks = nodes.withColumn("rank", F.lit(1_000_000).cast("bigint"))
+    for _ in range(3):
+        contrib = (
+            edges.join(deg, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .select("dst", F.expr("rank div d").alias("c"))
+        )
+        insum = contrib.groupBy("dst").agg(F.sum("c").alias("insum"))
+        ranks = nodes.join(
+            insum.withColumnRenamed("dst", "node"), "node", "left"
+        ).select(
+            "node",
+            (F.lit(150_000) + F.expr("(85 * coalesce(insum, 0L)) div 100"))
+            .cast("bigint")
+            .alias("rank"),
+        )
+    rows = ranks.collect()
+    assert len(rows) == nodes.count()
+    assert all(r["rank"] >= 150_000 for r in rows)
+    assert max(r["rank"] for r in rows) > 150_000  # somebody has in-links
