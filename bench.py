@@ -39,6 +39,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "span_explode",
     "doc_rolling_hash",
+    "graph_pagerank",
 ]
 
 CRAWL_WAVES = 10
