@@ -73,6 +73,11 @@ class CrawlConfig:
     bloom_shards: int = 16
     bloom_bits_per_shard: int = 1 << 20
     bloom_num_hashes: int = 5
+    # adaptive activation: the Bloom prefilter pays one Arrow cogroup pass
+    # per wave and only wins when the exact anti-join's build side is big —
+    # activate once total visited crosses this (0 = always on). On
+    # activation the shards are built once from the full visited set.
+    bloom_min_visited: int = 100_000
     politeness_salts: int = 8  # two-phase top-k fan-out for hot hosts
     compact_visited_every: int = 8  # waves between visited-table compactions
     # Per-wave counters always ride the writes for free (Observations), so

@@ -231,6 +231,7 @@ class CrawlEngine:
             if m is None:  # empty frontier → graceful stop (F2 analogue)
                 break
             manifest.last_wave = wave
+            manifest.total_visited += m.get("n_ok", 0)
             self.store.commit(manifest)
             summary.wave_metrics.append(m)
             summary.total_fetched += m.get("n_fetched", 0)
@@ -375,12 +376,27 @@ class CrawlEngine:
         edges_all = norm.filter(F.col("url_norm").isNotNull())
 
         visited = store.read_visited(spark, manifest)
-        bloom_shards = (
-            store.read(spark, "bloom", manifest.last_wave)
-            if self.bloom is not None and manifest.last_wave >= 0
-            else (self.bloom.empty(spark) if self.bloom is not None else None)
+        # adaptive Bloom: the prefilter costs one Arrow cogroup pass and only
+        # wins when the exact anti-join's build side is big — stay exact-only
+        # below the threshold; on the activation wave build the shards once
+        # from the full visited set (lazy DF — materialized by this wave's
+        # probe + bloom write)
+        use_bloom = self.bloom is not None and (
+            cfg.bloom_min_visited == 0
+            or manifest.total_visited >= cfg.bloom_min_visited
         )
-        fresh, cached = split_seen(edges_all, visited, self.bloom, bloom_shards)
+        if use_bloom:
+            if manifest.last_wave >= 0 and store.has("bloom", manifest.last_wave):
+                bloom_shards = store.read(spark, "bloom", manifest.last_wave)
+            elif visited is not None:
+                bloom_shards = self.bloom.updated(visited, self.bloom.empty(spark))
+            else:
+                bloom_shards = self.bloom.empty(spark)
+        else:
+            bloom_shards = None
+        fresh, cached = split_seen(
+            edges_all, visited, self.bloom if use_bloom else None, bloom_shards
+        )
 
         # rank edges within their unit; first edge wins the fetch
         we = Window.partitionBy("url_norm").orderBy("priority", "linked_from", "url")
@@ -628,7 +644,7 @@ class CrawlEngine:
                     "visited",
                     wave,
                 )
-            if self.bloom is not None:
+            if use_bloom:
                 with self._phase("bloom-update"):
                     store.write(
                         self.bloom.updated(

@@ -39,6 +39,9 @@ class Manifest:
     done: bool = False
     config_fingerprint: str = ""
     updated_at: float = 0.0
+    # cumulative ok-fetch count — drives adaptive Bloom activation without a
+    # store scan (old manifests default 0 and re-accumulate)
+    total_visited: int = 0
 
 
 class CrawlStore:

@@ -98,9 +98,11 @@ def prepare() -> None:
     )
     store.write(frontier.repartition(64), "frontier", 1)
     store.write_metrics(0, {"wave": 0, "note": "template prefill"})
-    store.commit(Manifest(last_wave=0))
     n_frontier = store.read(spark, "frontier", 1).count()
     n_visited = store.read(spark, "visited", 0).count()
+    # carry the prefill count so adaptive Bloom activation sees the real
+    # visited size (the scale path is what this benchmark measures)
+    store.commit(Manifest(last_wave=0, total_visited=n_visited))
     print(f"# template: frontier={n_frontier} visited={n_visited}", file=sys.stderr)
 
     # materialize the wave-1 edges table for the fetch-stage-only harness
