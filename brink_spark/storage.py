@@ -120,6 +120,35 @@ class CrawlStore:
             return None
         return spark.read.parquet(*paths)
 
+    def read_asof(self, spark, table: str, wave: int):
+        """Snapshot (time-travel) read: the table's cumulative state as of
+        the END of ``wave`` — Iceberg's VERSION AS OF on the per-wave
+        append layout. For ``visited`` the compacted rollup is used when it
+        covers the requested wave; waves BELOW the compaction horizon are
+        no longer travelable (compaction is snapshot expiry, exactly like
+        Iceberg's expire_snapshots) — returns None there."""
+        if table == "visited":
+            m = self.read_manifest() or Manifest()
+            if 0 <= m.compacted_upto <= wave:
+                paths = [self.compacted_dir(m.compacted_upto)]
+                start = m.compacted_upto + 1
+            else:
+                paths, start = [], 0
+            paths += [
+                self.wave_dir("visited", w)
+                for w in range(start, wave + 1)
+                if self.has("visited", w)
+            ]
+        else:
+            paths = [
+                self.wave_dir(table, w)
+                for w in range(wave + 1)
+                if self.has(table, w)
+            ]
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
+
     def compact_visited(self, spark, manifest: Manifest) -> None:
         """Roll per-wave visited appends into one dir (read-amplification
         control for long crawls; Iceberg rewrite-data-files equivalent)."""

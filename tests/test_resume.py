@@ -35,3 +35,42 @@ def test_resume_after_interrupt_matches_oracle(spark, tiny_fixture, tmp_path):
     s3 = eng3.run(fixture=tiny_fixture, resume=True, max_waves=WAVES)
     assert s3.total_fetched == 0
     assert compare_engine_oracle(spark, eng3, oracle).all_match
+
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def asof_run(spark, tiny_fixture, tmp_path_factory):
+    """Short crawl with compaction OFF so every wave stays time-travelable
+    (compaction intentionally expires snapshots below its horizon)."""
+    from brink_spark.plans.crawl import CrawlEngine
+
+    cfg = tiny_fixture.config.with_(
+        max_content_length=100_000, compact_visited_every=0
+    )
+    store = str(tmp_path_factory.mktemp("asof") / "store")
+    engine = CrawlEngine(spark, cfg, store)
+    summary = engine.run(fixture=tiny_fixture, max_waves=3)
+    return engine, summary
+
+
+def test_asof_snapshot_reads(spark, asof_run, tiny_oracle):
+    """Time-travel: visited as of wave K equals the oracle's ok-fetched set
+    through wave K (Iceberg VERSION AS OF on the append layout)."""
+    engine, summary = asof_run
+    waves = len(summary.wave_metrics)
+    for k in range(waves):
+        got = {
+            r["url_norm"]
+            for r in engine.store.read_asof(spark, "visited", k).collect()
+        }
+        want = {
+            r.url_norm
+            for r in tiny_oracle.handler_rows
+            if not r.cached and r.wave <= k
+        }
+        assert got == want, (k, len(got), len(want))
+    res = engine.store.read_asof(spark, "results", waves - 1)
+    want_rows = sum(1 for r in tiny_oracle.handler_rows if r.wave < waves)
+    assert res.count() == want_rows
