@@ -504,6 +504,62 @@ SELECT node, rank AS rank_x1e6 FROM r3
 """
 
 
+def q_graph_components(spark, sf):
+    """Connected components by iterative min-label propagation (4 unrolled
+    rounds over the undirected events link graph) — the other standard
+    iterative graph kernel next to PageRank, integer-exact on both engines.
+    Output: per current label, member count after round 4 (a fixed
+    iteration count keeps the oracle exact whether or not converged).
+    At scale each round is one shuffle on dst; label propagation is the
+    hash-join form of large-scale CC (e.g. the map-reduce CC family)."""
+    e = _t(spark, sf, "events")
+    edges = e.select(
+        F.pmod("event_id", F.lit(997)).alias("src"),
+        F.pmod(F.col("event_id") * 7 + 13, F.lit(997)).alias("dst"),
+    ).distinct()
+    und = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    nodes = und.select(F.col("src").alias("node")).distinct()
+    labels = nodes.withColumn("lbl", F.col("node"))
+    for _ in range(4):
+        nb = (
+            und.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("lbl").alias("nb_min"))
+        )
+        labels = labels.join(nb, "node", "left").select(
+            "node", F.least("lbl", F.coalesce("nb_min", "lbl")).alias("lbl")
+        )
+    return labels.groupBy(F.col("lbl").alias("component")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+
+
+def _sql_cc_iter(prev: str, out: str) -> str:
+    return f"""
+{out} AS (
+  SELECT l.node, LEAST(l.lbl, COALESCE(s.nb_min, l.lbl)) AS lbl
+  FROM {prev} l LEFT JOIN (
+    SELECT u.dst AS node, MIN(r.lbl) AS nb_min
+    FROM und u JOIN {prev} r ON r.node = u.src
+    GROUP BY u.dst) s ON s.node = l.node)"""
+
+
+SQL_COMPONENTS = f"""
+WITH edges AS (
+  SELECT DISTINCT event_id % 997 AS src, (event_id * 7 + 13) % 997 AS dst
+  FROM events),
+und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM und),
+{_sql_cc_iter("l0", "l1")},
+{_sql_cc_iter("l1", "l2")},
+{_sql_cc_iter("l2", "l3")},
+{_sql_cc_iter("l3", "l4")}
+SELECT lbl AS component, COUNT(*) AS n_nodes FROM l4 GROUP BY lbl
+"""
+
+
 RELATIONAL_QUERIES = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE_NATION),
@@ -519,4 +575,5 @@ RELATIONAL_QUERIES = {
     "cached_dispatch": (q_cached_dispatch, SQL_CACHED),
     "politeness_topk": (q_politeness_topk, SQL_POLITENESS),
     "graph_pagerank": (q_graph_pagerank, SQL_PAGERANK),
+    "graph_components": (q_graph_components, SQL_COMPONENTS),
 }
