@@ -170,6 +170,17 @@ def from_toml(path: str) -> CrawlConfig:
             else:
                 cookies.append((name, str(c)))
         kwargs["cookies"] = tuple(cookies)
+    elif isinstance(raw.get("cookies"), list):
+        # top-level [[cookies]] array-of-tables — the form the reference's
+        # own TestNewCrawlerFromToml uses (factory_test.go:143-160); each
+        # entry is an http.Cookie table whose Name/Value we keep
+        cookies = []
+        for c in raw["cookies"]:
+            if isinstance(c, dict):
+                lc = {k.lower(): v for k, v in c.items()}
+                if "name" in lc:
+                    cookies.append((str(lc["name"]), str(lc.get("value", ""))))
+        kwargs["cookies"] = tuple(cookies)
     unknown = set(raw) - set(_TOML_KEYS) - {"headers", "cookies"}
     if unknown:
         warnings.warn(f"unknown TOML config keys ignored: {sorted(unknown)}")

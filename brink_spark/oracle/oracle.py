@@ -215,6 +215,11 @@ def crawl_oracle(fixture: SiteFixture, config: Optional[CrawlConfig] = None) -> 
             if page is None:
                 m["n_miss"] += 1
                 continue
+            # response cookies merge BEFORE the domain/content gates
+            # (brink.go:199-204: addCookies runs right after client.Do, so
+            # not_allowed and too_large responses still update the jar)
+            if page.set_cookie is not None:
+                wave_cookies.append((un, page.set_cookie))
             dk = domain_key(un)
             if dk not in allowed_keys:
                 m["n_not_allowed"] += 1
@@ -223,8 +228,6 @@ def crawl_oracle(fixture: SiteFixture, config: Optional[CrawlConfig] = None) -> 
                 m["n_too_large"] += 1
                 continue
             m["n_ok"] += 1
-            if page.set_cookie is not None:
-                wave_cookies.append((un, page.set_cookie))
             res.visited[un] = page.status
             res.handler_rows.append(
                 HandlerRow(wave, first.linked_from, un, page.status, False, len(page.spans))

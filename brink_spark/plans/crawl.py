@@ -216,6 +216,14 @@ class CrawlEngine:
             # any carried frontier count may describe a wave the crash threw
             # away — recount once from parquet instead
             self._pending_frontier_count = None
+            # restore the runtime request state committed with the last wave
+            # (cookies from committed waves survive a crash; the suppressed
+            # Authorization header stays suppressed). Pre-jar manifests
+            # (None) keep the constructor's config-derived jar.
+            if manifest.cookie_jar is not None:
+                self.cookie_jar = dict(manifest.cookie_jar)
+                self.auth_suppressed_since_wave = manifest.auth_suppressed_since_wave
+                self._check_auth_suppression(wave)
 
         cookie_cols = ["set_cookie"] if "set_cookie" in self.pages.columns else []
         pages_slim = self.pages.select(
@@ -232,6 +240,8 @@ class CrawlEngine:
                 break
             manifest.last_wave = wave
             manifest.total_visited += m.get("n_ok", 0)
+            manifest.cookie_jar = dict(self.cookie_jar)
+            manifest.auth_suppressed_since_wave = self.auth_suppressed_since_wave
             self.store.commit(manifest)
             summary.wave_metrics.append(m)
             summary.total_fetched += m.get("n_fetched", 0)
@@ -474,21 +484,35 @@ class CrawlEngine:
             self.fetch_stage(wave, edges, pages_slim)
         fetchpage = store.read(spark, "fetchpage", wave)
 
-        # response-cookie accumulation (brink.go:200-204): only runs when the
-        # pages source carries a set_cookie column, costs one tiny collect on
-        # the already-materialized scratch. Merge order is sorted(url_norm)
-        # — the wave model's deterministic stand-in for goroutine arrival.
+        # response-cookie accumulation (brink.go:199-204): the reference
+        # merges resp.Cookies() BEFORE the domain-allowed and content-length
+        # gates, so every fetched response except a transport miss updates
+        # the jar (not_allowed and too_large included). Merge order is
+        # sorted(url_norm) — the wave model's deterministic stand-in for
+        # goroutine arrival — so last-writer-wins per cookie name is
+        # max_by(value, url_norm). The reduction runs in Spark (partial agg,
+        # one row per distinct cookie name); the collect is bounded by the
+        # number of distinct names, never by the number of pages.
         if "set_cookie" in fetchpage.columns:
             got = (
                 fetchpage.filter(
-                    (F.col("outcome") == "ok") & F.col("set_cookie").isNotNull()
+                    (F.col("outcome") != "miss") & F.col("set_cookie").isNotNull()
                 )
-                .select("url_norm", "set_cookie")
+                .select(
+                    F.substring_index("set_cookie", "=", 1).alias("_name"),
+                    # value = everything after the FIRST '=' ('' when absent),
+                    # matching str.partition('=')
+                    F.coalesce(
+                        F.element_at(F.split("set_cookie", "=", 2), 2), F.lit("")
+                    ).alias("_value"),
+                    "url_norm",
+                )
+                .groupBy("_name")
+                .agg(F.max_by("_value", "url_norm").alias("_value"))
                 .collect()
             )
-            for r in sorted(got, key=lambda r: r["url_norm"]):
-                name, _, value = r["set_cookie"].partition("=")
-                self.cookie_jar[name] = value
+            for r in got:
+                self.cookie_jar[r["_name"]] = r["_value"]
             if got:
                 self._check_auth_suppression(wave + 1)
 

@@ -94,17 +94,27 @@ SHINGLE_DF_CAP = 50
 BAND_BUCKET_CAP = 200
 
 
-def _capped_shingles(spark, sf) -> DataFrame:
-    # window count over sh = ONE shuffle on the same key the self-join
-    # uses next (a groupBy + semi-join costs a second scan + second
-    # shuffle; measured ~1.8x slower at sf0.1)
-    sh = _shingles(spark, sf)
-    w = Window.partitionBy("sh")
-    return (
-        sh.withColumn("_df", F.count(F.lit(1)).over(w))
-        .filter(F.col("_df") <= SHINGLE_DF_CAP)
-        .drop("_df")
+def _drop_hot_keys(df: DataFrame, keys: list[str], cap: int) -> DataFrame:
+    """Skew-safe frequency cap: drop rows whose key appears > cap times.
+
+    Two-pass form: groupBy-count (map-side partial aggregation — a hot
+    key's rows pre-combine per task, so no single task ever holds its full
+    df) → the over-cap key set (tiny by definition: > cap occurrences each)
+    → broadcast LEFT ANTI join. The alternative window count
+    (``count() over (partition by key)``) routes a hot key's ENTIRE row set
+    into one task before the filter can drop it — a 10⁹-row straggler for a
+    boilerplate shingle at web scale."""
+    hot = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > cap)
+        .select(*keys)
     )
+    return df.join(F.broadcast(hot), keys, "left_anti")
+
+
+def _capped_shingles(spark, sf) -> DataFrame:
+    return _drop_hot_keys(_shingles(spark, sf), ["sh"], SHINGLE_DF_CAP)
 
 
 _SQL_CAPPED_SHINGLES = f"""
@@ -197,15 +207,9 @@ def q_dedup_minhash_lsh(spark, sf):
     )
     # band-bucket cap: a (band, mh) bucket with > BAND_BUCKET_CAP members is
     # boilerplate-dominated — drop it before the quadratic in-bucket pairing
-    # (same predicate in the oracle; never binds at test SF). Window count =
-    # one shuffle on the join key, no second scan.
-    sig = (
-        sig.withColumn(
-            "_n", F.count(F.lit(1)).over(Window.partitionBy("band", "mh"))
-        )
-        .filter(F.col("_n") <= BAND_BUCKET_CAP)
-        .drop("_n")
-    )
+    # (same predicate in the oracle; never binds at test SF). Skew-safe
+    # two-pass form: partial-agg count → broadcast anti-join of hot buckets.
+    sig = _drop_hot_keys(sig, ["band", "mh"], BAND_BUCKET_CAP)
     a = sig.alias("a")
     b = sig.alias("b")
     return (
@@ -311,17 +315,29 @@ _DOT = "aggregate(zip_with(a.e, b.e, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
 _NORM = "sqrt(aggregate(transform(e, x -> x * x), 0D, (acc, v) -> acc + v))"
 
 
+EMBED_NEARDUP_MAX_ROWS = 2_000_000  # ~1 GB broadcast at 64-d float64
+
+
 def q_embed_neardup(spark, sf):
     """All-pairs cosine ≥ 0.45: broadcast-block numpy matmul via
     mapInPandas — each task computes its row-block against the broadcast
-    matrix (Arrow-batched, BLAS-backed). The brute-force baseline for the
-    LSH scale path below; the broadcast side must fit in executor memory
-    (beyond that, switch to the LSH buckets). Double precision: float32
-    inputs are exact in float64, so the ~1e-13 summation-order error is
-    nowhere near the 0.45 threshold for any pair."""
+    matrix (Arrow-batched, BLAS-backed). This is the SMALL-SIDE BASELINE:
+    it collects the table once to build the broadcast matrix, so it is
+    guarded to fail fast past EMBED_NEARDUP_MAX_ROWS rather than OOM the
+    driver — ``q_embed_neardup_lsh`` below is the default near-dup path at
+    scale (nothing collected, bucket-bounded joins). Double precision:
+    float32 inputs are exact in float64, so the ~1e-13 summation-order
+    error is nowhere near the 0.45 threshold for any pair."""
     import numpy as np
 
     e = _emb(spark, sf)
+    # fail-fast guard: LIMIT cap+1 keeps the probe O(cap), not a full count
+    if e.limit(EMBED_NEARDUP_MAX_ROWS + 1).count() > EMBED_NEARDUP_MAX_ROWS:
+        raise ValueError(
+            f"q_embed_neardup collects the embedding table to the driver and "
+            f"is capped at {EMBED_NEARDUP_MAX_ROWS} rows; use "
+            f"q_embed_neardup_lsh (the distributed LSH path) at this scale"
+        )
     rows = e.select("vec_id", "embedding").collect()  # driver: only to build
     # the broadcast matrix (2.5 MB at 5k×64); the scan side stays distributed
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
@@ -914,9 +930,18 @@ def q_pipeline_end_to_end(spark, sf):
         (F.size(w) >= 20)
         & (F.size(F.filter(w, lambda t: F.array_contains(stop_arr, t))) >= 1)
     )
-    exact = quality.withColumn(
-        "_rep", F.min("doc_id").over(Window.partitionBy(F.md5("text")))
-    ).filter(F.col("doc_id") == F.col("_rep"))
+    # exact dedup, skew-safe: min-rep per hash via partial-agg groupBy, then
+    # a semi-join back on (hash, doc_id) — the composite key spreads a hot
+    # hash (10⁸ copies of one boilerplate page) across tasks, where a
+    # window over md5(text) would route them all into one
+    reps = quality.groupBy(F.md5("text").alias("_h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    exact = (
+        quality.withColumn("_h", F.md5("text"))
+        .join(reps, ["_h", "doc_id"], "left_semi")
+        .drop("_h")
+    )
 
     sh = exact.select("doc_id", F.split("text", " ").alias("w")).select(
         "doc_id",
@@ -929,11 +954,7 @@ def q_pipeline_end_to_end(spark, sf):
             )
         ).alias("sh"),
     )
-    sh = (
-        sh.withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("sh")))
-        .filter(F.col("_df") <= SHINGLE_DF_CAP)
-        .drop("_df")
-    )
+    sh = _drop_hot_keys(sh, ["sh"], SHINGLE_DF_CAP)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

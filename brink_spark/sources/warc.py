@@ -58,10 +58,14 @@ def write_warc(pages, path: str) -> None:
             fh.write(hdr + http + _CRLF + _CRLF)
 
 
-def _parse_warc_bytes(data: bytes) -> Iterator[tuple[str, int, str]]:
-    """Linear scan of one archive: yield (target_uri, status, body) per
-    response record. Length-prefixed framing: the WARC Content-Length
-    header bounds the payload exactly (bodies may contain blank lines)."""
+def _parse_warc_bytes(data: bytes) -> Iterator[tuple[str, int, str, int]]:
+    """Linear scan of one archive: yield (target_uri, status, body,
+    body_bytes) per response record. Length-prefixed framing: the WARC
+    Content-Length header bounds the payload exactly (bodies may contain
+    blank lines). ``body_bytes`` is the RAW payload byte length — the
+    decoded string can be longer for non-UTF-8 bodies (each invalid byte
+    becomes a 3-byte replacement char), and content-length gates must see
+    the wire size."""
     pos = 0
     n = len(data)
     while pos < n:
@@ -94,8 +98,8 @@ def _parse_warc_bytes(data: bytes) -> Iterator[tuple[str, int, str]]:
             status = int(parts[1])
         except (IndexError, ValueError):
             continue
-        body = payload[http_end + 4 :].decode("utf-8", "replace")
-        yield uri, status, body
+        raw_body = payload[http_end + 4 :]
+        yield uri, status, raw_body.decode("utf-8", "replace"), len(raw_body)
 
 
 def warc_to_pages(
@@ -117,13 +121,11 @@ def warc_to_pages(
         for pdf in batches:
             rows = []
             for blob in pdf["content"]:
-                for uri, status, body in _parse_warc_bytes(bytes(blob)):
+                for uri, status, body, nbytes in _parse_warc_bytes(bytes(blob)):
                     un = normalize_url(uri, ignored, fuzzy)
                     sh = scheme_and_host(un) if un else None
                     scheme, host = sh if sh else (None, None)
-                    rows.append(
-                        (un, uri, host, scheme, status, len(body.encode()), body)
-                    )
+                    rows.append((un, uri, host, scheme, status, nbytes, body))
             yield pd.DataFrame(
                 rows,
                 columns=[

@@ -42,6 +42,12 @@ class Manifest:
     # cumulative ok-fetch count — drives adaptive Bloom activation without a
     # store scan (old manifests default 0 and re-accumulate)
     total_visited: int = 0
+    # runtime request state, committed with each wave so crash-resume keeps
+    # the jar and the Authorization-suppression decision (brink.go:267-274 /
+    # 177-184). None = written by a pre-jar manifest → the resume branch
+    # keeps the constructor's config-derived jar.
+    cookie_jar: Optional[dict] = None
+    auth_suppressed_since_wave: Optional[int] = None
 
 
 class CrawlStore:
@@ -120,13 +126,27 @@ class CrawlStore:
             return None
         return spark.read.parquet(*paths)
 
+    # tables whose per-wave dirs form an append log, so 'state as of wave K'
+    # = union of dirs 0..K. frontier / edges / fetchpage / bloom are
+    # SNAPSHOT-per-wave tables (each wave's dir supersedes the previous) —
+    # unioning those would mix superseded states.
+    APPEND_TABLES = ("visited", "results", "fetchlog", "metrics")
+
     def read_asof(self, spark, table: str, wave: int):
         """Snapshot (time-travel) read: the table's cumulative state as of
         the END of ``wave`` — Iceberg's VERSION AS OF on the per-wave
-        append layout. For ``visited`` the compacted rollup is used when it
-        covers the requested wave; waves BELOW the compaction horizon are
+        append layout. Only append-layout tables have a cumulative 'as of'
+        (APPEND_TABLES); for snapshot-style tables (``frontier`` etc.) the
+        state as of wave K IS the wave-K dir, so this returns that single
+        snapshot instead. For ``visited`` the compacted rollup is used when
+        it covers the requested wave; waves BELOW the compaction horizon are
         no longer travelable (compaction is snapshot expiry, exactly like
         Iceberg's expire_snapshots) — returns None there."""
+        if table not in self.APPEND_TABLES:
+            # snapshot layout: one dir per wave, later waves supersede
+            if not self.has(table, wave):
+                return None
+            return self.read(spark, table, wave)
         if table == "visited":
             m = self.read_manifest() or Manifest()
             if 0 <= m.compacted_upto <= wave:
@@ -152,13 +172,21 @@ class CrawlStore:
     def compact_visited(self, spark, manifest: Manifest) -> None:
         """Roll per-wave visited appends into one dir (read-amplification
         control for long crawls; Iceberg rewrite-data-files equivalent)."""
-        df = self.read_visited(spark, manifest)
-        if df is None:
+        paths = self.visited_paths(manifest)
+        if not paths:
             return
+        df = spark.read.parquet(*paths)
+        # target partition count from input SIZE (DataFrame-pure — no RDD
+        # API): one output partition per ~128 MB of input files, min 1
+        n_bytes = sum(
+            os.path.getsize(os.path.join(d, f))
+            for d in paths
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+        n_parts = max(1, n_bytes // (128 << 20))
         target = self.compacted_dir(manifest.last_wave)
-        df.repartition(max(1, df.rdd.getNumPartitions() // 4)).write.mode(
-            "overwrite"
-        ).parquet(target)
+        df.repartition(n_parts, "url_norm").write.mode("overwrite").parquet(target)
         old_compacted = manifest.compacted_upto
         manifest.compacted_upto = manifest.last_wave
         self.commit(manifest)

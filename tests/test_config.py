@@ -119,3 +119,26 @@ def test_unknown_toml_key_warns(tmp_path):
         warnings.simplefilter("always")
         from_toml(str(p))
     assert any("not-a-real-key" in str(x.message) for x in w)
+
+
+def test_toml_top_level_cookies_array_of_tables(tmp_path):
+    """The reference's own TestNewCrawlerFromToml (factory_test.go:131-160)
+    uses a TOP-LEVEL [[cookies]] array-of-tables; each entry is an
+    http.Cookie table keyed into the jar by Name."""
+    p = tmp_path / "c.toml"
+    p.write_text(
+        'entrypoint = "http://example.com"\n'
+        "[[cookies]]\n"
+        'Name = "Cookie Name"\n'
+        'Value = "Cookie Value"\n'
+        'Path = "/"\n'
+        "Secure = true\n"
+        "[[cookies]]\n"
+        'Name = "Second Cookie Name"\n'
+        'Value = "Second Cookie Value"\n'
+    )
+    cfg = from_toml(str(p))
+    assert cfg.cookies == (
+        ("Cookie Name", "Cookie Value"),
+        ("Second Cookie Name", "Second Cookie Value"),
+    )

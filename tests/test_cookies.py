@@ -15,7 +15,7 @@ from brink_spark.plans.crawl import CrawlEngine
 from brink_spark.sources.sitegen import Page, SiteFixture
 
 
-def _page(url: str, links=(), set_cookie=None) -> Page:
+def _page(url: str, links=(), set_cookie=None, content_length=1000) -> Page:
     spans, off = [], 0
     for h in links:
         spans.append(Span("link", h, None, off))
@@ -27,7 +27,7 @@ def _page(url: str, links=(), set_cookie=None) -> Page:
         host=host,
         scheme=scheme,
         status=200,
-        content_length=1000,
+        content_length=content_length,
         body=render_html(spans),
         spans=spans,
         set_cookie=set_cookie,
@@ -120,3 +120,76 @@ def test_no_cookie_pages_leave_jar_untouched(spark, cookie_fixture, tmp_path):
     engine.run(fixture=fx)
     assert engine.cookie_jar == {"k": "v"}
     assert crawl_oracle(fx).cookie_jar == {"k": "v"}
+
+
+def test_cookies_merge_before_gates(spark, tmp_path):
+    """brink.go:199-204: addCookies runs right after client.Do, BEFORE the
+    domain-allowed and content-length gates — a not_allowed response and a
+    too_large response still update the jar. Only a transport miss
+    (no response at all) leaves it untouched."""
+    pages = [
+        _page(
+            "https://g.example/a",
+            links=["https://other.example/x", "/big", "/gone"],
+            set_cookie="from_ok=1",
+        ),
+        # not in allowed domains -> outcome not_allowed, cookie still merges
+        _page("https://other.example/x", set_cookie="from_not_allowed=1"),
+        # content_length > 512KiB default -> too_large, cookie still merges
+        _page("https://g.example/big", set_cookie="from_too_large=1",
+              content_length=10**6),
+        # /gone has no page row -> miss; nothing to merge
+    ]
+    cfg = CrawlConfig("https://g.example/a", max_waves=4)
+    fx = SiteFixture(
+        scale="gates", seed=0, pages=pages,
+        seeds=[{"url": "https://g.example/a", "priority": 0}],
+        robots=[], config=cfg,
+    )
+    oracle = crawl_oracle(fx)
+    want = {"from_ok": "1", "from_not_allowed": "1", "from_too_large": "1"}
+    assert oracle.cookie_jar == want
+    engine = CrawlEngine(spark, cfg, str(tmp_path / "store_gates"))
+    engine.run(fixture=fx)
+    assert engine.cookie_jar == want
+
+
+def test_last_writer_wins_is_sorted_url_norm(spark, tmp_path):
+    """Two same-wave pages set the SAME cookie name: the sorted(url_norm)
+    merge order makes the lexicographically later page win — in the engine
+    via the Spark-side max_by(value, url_norm) reduction."""
+    pages = [
+        _page("https://w.example/a", links=["/m", "/z"]),
+        _page("https://w.example/m", set_cookie="k=from_m"),
+        _page("https://w.example/z", set_cookie="k=from_z"),
+    ]
+    cfg = CrawlConfig("https://w.example/a", max_waves=4)
+    fx = SiteFixture(
+        scale="lww", seed=0, pages=pages,
+        seeds=[{"url": "https://w.example/a", "priority": 0}],
+        robots=[], config=cfg,
+    )
+    oracle = crawl_oracle(fx)
+    assert oracle.cookie_jar == {"k": "from_z"}
+    engine = CrawlEngine(spark, cfg, str(tmp_path / "store_lww"))
+    engine.run(fixture=fx)
+    assert engine.cookie_jar == {"k": "from_z"}
+
+
+def test_resume_restores_cookie_jar(spark, cookie_fixture, tmp_path):
+    """ADVICE r2: the jar and the auth-suppression wave are committed with
+    each wave's manifest, so a crash-resume keeps cookies from committed
+    waves and Authorization stays suppressed."""
+    store = str(tmp_path / "store_resume")
+    eng1 = CrawlEngine(spark, cookie_fixture.config, store)
+    eng1.run(fixture=cookie_fixture, max_waves=1)  # wave 0 sets JSESSIONID
+    assert eng1.cookie_jar["JSESSIONID"] == "abc"
+
+    eng2 = CrawlEngine(spark, cookie_fixture.config, store)
+    # pre-resume: constructor state is config-only
+    assert "JSESSIONID" not in eng2.cookie_jar
+    eng2.run(fixture=cookie_fixture, resume=True)
+    full = crawl_oracle(cookie_fixture)
+    assert eng2.cookie_jar == full.cookie_jar
+    assert eng2.auth_suppressed_since_wave == full.auth_suppressed_since_wave
+    assert "Authorization" not in eng2.request_headers()

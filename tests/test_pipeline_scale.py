@@ -182,3 +182,28 @@ def test_ann_ivf_topk_is_sound(spark):
         key = (r["query_id"], r["neighbor_id"])
         if key in brute:
             assert r["rank"] <= brute[key]
+
+
+def test_no_hot_key_window_on_similarity_path(spark):
+    """The df/bucket caps must be the two-pass partial-agg + broadcast-anti
+    form, never a count window partitioned by the hot key (a window routes
+    a hot shingle's ENTIRE row set into one task before the filter runs).
+    Asserted on the physical plan: no Window operator anywhere in the
+    similarity queries; the hot-key guard joins are broadcast."""
+    from brink_spark.queries.pipeline import (
+        q_dedup_minhash_lsh,
+        q_dedup_ngram_jaccard,
+        q_pipeline_end_to_end,
+    )
+
+    for q in (q_dedup_ngram_jaccard, q_dedup_minhash_lsh, q_pipeline_end_to_end):
+        plan = q(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan, f"{q.__name__} has a window:\n{plan}"
+
+
+def test_embed_neardup_guard_fails_fast(spark, monkeypatch):
+    import brink_spark.queries.pipeline as P
+
+    monkeypatch.setattr(P, "EMBED_NEARDUP_MAX_ROWS", 10)
+    with pytest.raises(ValueError, match="q_embed_neardup_lsh"):
+        P.q_embed_neardup(spark, SF_SMALL)

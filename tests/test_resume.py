@@ -74,3 +74,19 @@ def test_asof_snapshot_reads(spark, asof_run, tiny_oracle):
     res = engine.store.read_asof(spark, "results", waves - 1)
     want_rows = sum(1 for r in tiny_oracle.handler_rows if r.wave < waves)
     assert res.count() == want_rows
+
+
+def test_asof_snapshot_table_returns_single_wave(spark, asof_run):
+    """frontier is a SNAPSHOT-per-wave table (each wave's dir supersedes the
+    previous) — read_asof must return exactly the wave-K snapshot, never a
+    union of superseded frontiers (ADVICE r2)."""
+    engine, summary = asof_run
+    waves = len(summary.wave_metrics)
+    for k in range(waves):
+        asof = engine.store.read_asof(spark, "frontier", k)
+        direct = engine.store.read(spark, "frontier", k)
+        assert asof.count() == direct.count()
+    # append tables still union: results as of last wave >= as of wave 0
+    r_last = engine.store.read_asof(spark, "results", waves - 1).count()
+    r_first = engine.store.read_asof(spark, "results", 0).count()
+    assert r_last >= r_first

@@ -71,3 +71,31 @@ def test_crawl_from_warc_equals_parquet_pages(
     for em, om in zip(summary.wave_metrics, tiny_oracle.metrics[:3]):
         for key, want in om.items():
             assert em.get(key) == want, (key, em.get(key), want)
+
+
+def test_warc_content_length_is_raw_bytes(spark, tmp_path):
+    """content_length counts the WIRE payload bytes: a non-UTF-8 body's
+    decoded string is longer (each invalid byte -> 3-byte replacement
+    char), but the content-length gate must see the archive's actual
+    size (ADVICE r2)."""
+    raw_body = b"\xff\xfe binary-ish \xff"
+    http = (
+        b"HTTP/1.1 200 X\r\nContent-Type: text/html\r\n"
+        + f"Content-Length: {len(raw_body)}".encode()
+        + b"\r\n\r\n"
+        + raw_body
+    )
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://bin.example/x\r\n"
+        b"Content-Type: application/http;msgtype=response\r\n"
+        + f"Content-Length: {len(http)}".encode()
+        + b"\r\n\r\n"
+        + http
+        + b"\r\n\r\n"
+    )
+    p = tmp_path / "bin.warc"
+    p.write_bytes(rec)
+    row = warc_to_pages(spark, str(p)).collect()[0]
+    assert row["content_length"] == len(raw_body)
+    assert len(row["body"].encode()) > len(raw_body)  # lossy decode inflated
