@@ -116,16 +116,33 @@ def main() -> None:
         extra={"spark.ui.showConsoleProgress": "false"},
     )
 
+    # min-of-REPEATS, ALTERNATED (all queries once, then again): a noisy-
+    # neighbor burst on this host (documented ~30-80% single-shot noise,
+    # BENCH/BASELINE.md) hits one round, not all repeats of one query; the
+    # min is the engine's clean wall. Round 0 doubles as JVM/codegen warmup
+    # and is discarded by the min unless it was genuinely fastest.
+    REPEATS = 3
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    rows: dict[str, int] = {}
+    for rep in range(REPEATS):
+        for name in HEADLINE:
+            fn = ALL_QUERIES[name][0]
+            t0 = time.time()
+            rows[name] = fn(spark, sf_dir).count()
+            samples[name].append(time.time() - t0)
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
-        fn = ALL_QUERIES[name][0]
-        t0 = time.time()
-        n = fn(spark, sf_dir).count()
-        dt = time.time() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+        s = samples[name]
+        timings[name] = round(min(s), 3)
+        spread[name] = round(max(s) - min(s), 3)
+        total += min(s)
+        print(
+            f"# {name}: {min(s):.2f}s (min of {REPEATS}, spread {max(s)-min(s):.2f}s, "
+            f"{rows[name]} rows)",
+            file=sys.stderr,
+        )
 
     crawl_wall, crawl_stats = run_crawl_bench(spark, cpus)
     timings["crawl_small"] = round(crawl_wall, 3)
@@ -140,6 +157,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "crawl": crawl_stats,
                 "cpus": cpus,

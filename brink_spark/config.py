@@ -80,6 +80,12 @@ class CrawlConfig:
     bloom_min_visited: int = 100_000
     politeness_salts: int = 8  # two-phase top-k fan-out for hot hosts
     compact_visited_every: int = 8  # waves between visited-table compactions
+    # --- link-authority frontier prioritization (north_rule "priority
+    # frontier queue" closed loop): every K waves recompute integer
+    # PageRank over the crawl's own link graph and stamp each NEW edge's
+    # priority from its parent page's rank (higher authority → fetched
+    # earlier). 0 = off (new edges inherit the unit's priority).
+    rank_priority_every: int = 0
     # Per-wave counters always ride the writes for free (Observations), so
     # this now gates only the per-partition lineage diagnostic (A5), the one
     # counter that needs a grouped collect. False = throughput profile.
@@ -135,6 +141,7 @@ _TOML_KEYS = {
     "worker-count": "worker_count",
     "idle-work-check-interval": "idle_work_check_interval",
     "politeness-budget": "politeness_budget",
+    "rank-priority-every": "rank_priority_every",
     "max-waves": "max_waves",
     "fetch-partitions": "fetch_partitions",
 }

@@ -89,6 +89,42 @@ class CrawlResult:
     auth_suppressed_since_wave: Optional[int] = None
 
 
+RANK_ITERS = 3
+RANK_BUCKET_DIV = 10_000
+RANK_BUCKET_CAP = 2_000_000_000
+
+
+def _integer_pagerank(
+    handler_rows: list[HandlerRow],
+    upto_wave: int,
+    ignored: tuple[str, ...],
+    fuzzy: bool,
+) -> dict[str, int]:
+    """The engine's _compute_ranks, serial: integer PageRank over the
+    distinct normalize(linked_from) -> url_norm edges of handler rows from
+    waves [0, upto_wave). All-integer arithmetic (millionths, 85/100
+    damping via floor division) — bit-exact vs Spark's ``div``."""
+    edges: set[tuple[str, str]] = set()
+    for r in handler_rows:
+        if r.wave >= upto_wave or r.linked_from == "start":
+            continue
+        src = normalize_url(r.linked_from, ignored, fuzzy)
+        if src is None:
+            continue
+        edges.add((src, r.url_norm))
+    nodes = {s for s, _ in edges} | {d for _, d in edges}
+    deg: dict[str, int] = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    rank = {n: 1_000_000 for n in nodes}
+    for _ in range(RANK_ITERS):
+        insum: dict[str, int] = {}
+        for s, d in edges:
+            insum[d] = insum.get(d, 0) + rank[s] // deg[s]
+        rank = {n: 150_000 + (85 * insum.get(n, 0)) // 100 for n in nodes}
+    return rank
+
+
 def _robots_denied(robots_rules: dict[str, list[tuple[str, str]]], host: str, path: str) -> bool:
     """Longest-prefix-match; deny wins ties; absent host → allowed."""
     rules = robots_rules.get(host)
@@ -140,8 +176,25 @@ def crawl_oracle(fixture: SiteFixture, config: Optional[CrawlConfig] = None) -> 
     _auth_check(0)
     frontier: list[Edge] = [Edge("start", s["url"], s["priority"]) for s in fixture.seeds]
     wave = 0
+    rank_every = config.rank_priority_every
 
     while frontier and wave < config.max_waves:
+        # PageRank -> priority closed loop (engine: _reprioritize_frontier):
+        # at every K-wave boundary, recompute integer ranks over the handler
+        # rows committed so far and re-stamp the current frontier — each
+        # edge's priority becomes its parent page's negated bucketed rank
+        # (unranked parents and 'start' seeds keep their priority)
+        if rank_every > 0 and wave > 0 and wave % rank_every == 0:
+            rank_map = _integer_pagerank(res.handler_rows, wave, ignored, fuzzy)
+            restamped = []
+            for e in frontier:
+                src = normalize_url(e.linked_from, ignored, fuzzy)
+                if src is not None and src in rank_map:
+                    p = -min(rank_map[src] // RANK_BUCKET_DIV, RANK_BUCKET_CAP)
+                    restamped.append(Edge(e.linked_from, e.url, p))
+                else:
+                    restamped.append(e)
+            frontier = restamped
         m = dict(wave=wave, n_frontier=len(frontier), n_malformed=0, n_cached=0,
                  n_units=0, n_robots_denied=0, n_deferred=0, n_fetched=0,
                  n_miss=0, n_not_allowed=0, n_too_large=0, n_ok=0, n_new_links=0)

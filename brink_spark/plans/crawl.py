@@ -325,6 +325,100 @@ class CrawlEngine:
             wave,
         )
 
+    # ------------------------------------------------------------------
+    # link-authority ranking (the PageRank -> frontier-priority closed loop)
+    RANK_ITERS = 3
+    RANK_BUCKET_DIV = 10_000
+    RANK_BUCKET_CAP = 2_000_000_000  # |priority| stays inside int32
+
+    def _compute_ranks(self, upto_wave: int) -> DataFrame:
+        """Integer PageRank over the crawl's OWN link graph so far: edges =
+        every handler row's normalize(linked_from) -> url_norm from waves
+        [0, upto_wave) (sources/corpus.py linkgraph_from_store shape). Same
+        all-integer arithmetic as queries/relational.py q_graph_pagerank
+        (ranks in millionths, damping 85/100 via integer div) so the oracle
+        is bit-exact. At scale each iteration is one shuffle keyed on dst;
+        RANK_ITERS is fixed so resume recomputes identical ranks."""
+        spark, store = self.spark, self.store
+        paths = [
+            store.wave_dir("results", w)
+            for w in range(upto_wave)
+            if store.has("results", w)
+        ]
+        res = spark.read.parquet(*paths)
+        edges = (
+            res.filter(F.col("linked_from") != "start")
+            .withColumn("_p", self.norm_udf("linked_from"))
+            .select(
+                F.col("_p.url_norm").alias("src"), F.col("url_norm").alias("dst")
+            )
+            .filter(F.col("src").isNotNull())
+            .distinct()
+        )
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .union(edges.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        ranks = nodes.withColumn("rank", F.lit(1_000_000).cast("bigint"))
+        for _ in range(self.RANK_ITERS):
+            contrib = (
+                edges.join(deg, "src")
+                .join(ranks.withColumnRenamed("node", "src"), "src")
+                .select("dst", F.expr("rank div d").alias("c"))
+            )
+            insum = contrib.groupBy("dst").agg(F.sum("c").alias("insum"))
+            ranks = nodes.join(
+                insum.withColumnRenamed("dst", "node"), "node", "left"
+            ).select(
+                "node",
+                (F.lit(150_000) + F.expr("(85 * coalesce(insum, 0L)) div 100"))
+                .cast("bigint")
+                .alias("rank"),
+            )
+        return ranks.select(F.col("node").alias("url_norm"), "rank")
+
+    def _reprioritize_frontier(self, wave: int, frontier: DataFrame) -> DataFrame:
+        """The PageRank -> priority closed loop, applied at every K-wave
+        boundary: recompute ranks over the committed waves [0, wave) and
+        re-stamp the CURRENT frontier — each edge's priority becomes its
+        PARENT page's bucketed authority (negated: lower value = fetched
+        earlier). The parents of wave-B frontier edges were fetched in
+        waves < B, so they are in the rank graph by construction; unranked
+        parents (and 'start' seeds) keep their existing priority. Edges
+        discovered after the boundary inherit their unit's (re-stamped)
+        priority until the next boundary — the OPIC-style propagation.
+        The ranks snapshot persists as the ``ranks`` store table, so
+        crash-resume re-reads (or deterministically recomputes) it."""
+        K = self.config.rank_priority_every
+        if K <= 0 or wave == 0 or wave % K != 0:
+            return frontier
+        if not self.store.has("ranks", wave):
+            with self._phase("rank-compute"):
+                self.store.write(self._compute_ranks(wave), "ranks", wave)
+        ranks = self.store.read(self.spark, "ranks", wave)
+        rank_prio = ranks.select(
+            F.col("url_norm").alias("_pn"),
+            (
+                -F.least(
+                    F.expr(f"rank div {self.RANK_BUCKET_DIV}"),
+                    F.lit(self.RANK_BUCKET_CAP).cast("bigint"),
+                )
+            )
+            .cast("int")
+            .alias("_rank_prio"),
+        )
+        return (
+            frontier.withColumn("_pn", self.norm_udf("linked_from").getField("url_norm"))
+            .join(rank_prio, "_pn", "left")
+            .select(
+                "linked_from",
+                "url",
+                F.coalesce("_rank_prio", F.col("priority")).cast("int").alias("priority"),
+            )
+        )
+
     @contextmanager
     def _phase(self, name: str):
         if os.environ.get("BRINK_TIMING"):
@@ -361,7 +455,9 @@ class CrawlEngine:
         (collect_metrics=True) costs an extra action.
         """
         spark, store, cfg = self.spark, self.store, self.config
-        frontier = store.read(spark, "frontier", wave)
+        frontier = self._reprioritize_frontier(
+            wave, store.read(spark, "frontier", wave)
+        )
         m = dict(wave=wave)
 
         n_frontier = self._pending_frontier_count
@@ -589,6 +685,7 @@ class CrawlEngine:
         links = (
             trav.select(
                 F.col("url").alias("_parent_url"),
+                F.col("url_norm").alias("_parent_norm"),
                 "unit_priority",
                 "base_scheme",
                 "base_host",
@@ -598,6 +695,7 @@ class CrawlEngine:
             )
             .select(
                 "_parent_url",
+                "_parent_norm",
                 "unit_priority",
                 "base_scheme",
                 "base_host",

@@ -64,6 +64,7 @@ class CrawlStore:
         "fetchlog",
         "edges",
         "fetchpage",
+        "ranks",
     )
 
     def __init__(self, root: str):
