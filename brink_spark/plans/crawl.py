@@ -94,10 +94,14 @@ class CrawlEngine:
         store_dir: str,
         pages: DataFrame | None = None,
         robots: DataFrame | None = None,
+        store: CrawlStore | None = None,
     ):
         self.spark = spark
         self.config = config
-        self.store = CrawlStore(store_dir)
+        # pluggable table store: parquet-backed by default; pass an
+        # IcebergCrawlStore (storage_iceberg.py) to commit every wave
+        # through real Iceberg snapshots
+        self.store = store if store is not None else CrawlStore(store_dir)
         self.pages = pages
         self.robots = robots
         self.allowed_keys = allowed_domain_keys(config)
@@ -203,8 +207,7 @@ class CrawlEngine:
 
         manifest = self.store.read_manifest() if resume else None
         if manifest is None:
-            self.store.destroy()
-            self.store = CrawlStore(self.store.root)
+            self.store.reset()
             if seeds is None:
                 raise ValueError("fresh run requires seeds")
             self.seed_frontier(seeds)
@@ -340,12 +343,9 @@ class CrawlEngine:
         is bit-exact. At scale each iteration is one shuffle keyed on dst;
         RANK_ITERS is fixed so resume recomputes identical ranks."""
         spark, store = self.spark, self.store
-        paths = [
-            store.wave_dir("results", w)
-            for w in range(upto_wave)
-            if store.has("results", w)
-        ]
-        res = spark.read.parquet(*paths)
+        # backend-agnostic cumulative read (parquet dir union / Iceberg
+        # _wave <= K filter)
+        res = store.read_asof(spark, "results", upto_wave - 1)
         edges = (
             res.filter(F.col("linked_from") != "start")
             .withColumn("_p", self.norm_udf("linked_from"))

