@@ -68,11 +68,21 @@ class CrawlConfig:
     # explicit fetch-stage partition count; 0 = derive from
     # max(shuffle partitions, defaultParallelism, worker_count)
     fetch_partitions: int = 0
+    # fetch backend: 'synthetic' (equi-join vs a pages table — the sandbox
+    # rule, SURVEY.md A1) or 'http' (real sockets via the mapInPandas stage,
+    # operators/http_fetch.py — no pages table needed)
+    fetch_mode: str = "synthetic"
+    http_timeout: float = 10.0
     # --- engine knobs (physical, not semantic) ---
     use_bloom: bool = True
+    # which approximate seen-filter backs the prefilter when active:
+    # 'bloom' (operators/seen.py) or 'cuckoo' (operators/cuckoo.py — same
+    # sharded-cogroup shape plus exact deletion for recrawl/expiry)
+    seen_filter: str = "bloom"
     bloom_shards: int = 16
     bloom_bits_per_shard: int = 1 << 20
     bloom_num_hashes: int = 5
+    cuckoo_buckets_per_shard: int = 1 << 16  # power of two; 4 slots/bucket
     # adaptive activation: the Bloom prefilter pays one Arrow cogroup pass
     # per wave and only wins when the exact anti-join's build side is big —
     # activate once total visited crosses this (0 = always on). On

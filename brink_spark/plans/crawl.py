@@ -108,11 +108,24 @@ class CrawlEngine:
         self.norm_udf = make_normalize_udf(
             config.ignore_get_parameters, config.fuzzy_get_parameter_checks
         )
-        self.bloom = (
-            BloomSeenSet(config.bloom_shards, config.bloom_bits_per_shard, config.bloom_num_hashes)
-            if config.use_bloom
-            else None
-        )
+        # the approximate seen-prefilter ("bloom" attribute name kept for
+        # the store table + adaptive-activation plumbing, which is shared):
+        # Bloom (default) or cuckoo — the latter supports exact deletion
+        # (visited-entry expiry for recrawl), same probe/updated surface
+        if not config.use_bloom:
+            self.bloom = None
+        elif config.seen_filter == "cuckoo":
+            from brink_spark.operators.cuckoo import CuckooSeenSet
+
+            self.bloom = CuckooSeenSet(
+                config.bloom_shards, config.cuckoo_buckets_per_shard
+            )
+        else:
+            self.bloom = BloomSeenSet(
+                config.bloom_shards,
+                config.bloom_bits_per_shard,
+                config.bloom_num_hashes,
+            )
         self._rules = robots_rules_per_host(robots) if robots is not None else None
         self._budgets = budget_per_host(robots, config.politeness_budget)
         # shared cookie jar (reference brink.go:267-274): response cookies
@@ -228,14 +241,19 @@ class CrawlEngine:
                 self.auth_suppressed_since_wave = manifest.auth_suppressed_since_wave
                 self._check_auth_suppression(wave)
 
-        cookie_cols = ["set_cookie"] if "set_cookie" in self.pages.columns else []
-        pages_slim = self.pages.select(
-            "url_norm",
-            F.col("status").alias("page_status"),
-            "content_length",
-            "body",
-            *cookie_cols,
-        )
+        if self.pages is not None:
+            cookie_cols = ["set_cookie"] if "set_cookie" in self.pages.columns else []
+            pages_slim = self.pages.select(
+                "url_norm",
+                F.col("status").alias("page_status"),
+                "content_length",
+                "body",
+                *cookie_cols,
+            )
+        elif self.config.fetch_mode == "http":
+            pages_slim = None  # real sockets; no synthetic pages table
+        else:
+            raise ValueError("synthetic fetch_mode requires a pages table")
 
         while wave < max_waves:
             m = self._run_wave(wave, manifest, pages_slim)
@@ -279,7 +297,24 @@ class CrawlEngine:
             & (F.col("_edge_rank") == 1)
             & F.col("eligible")
         )
-        fetched = eligible_units.join(pages_slim, "url_norm", "left")
+        if cfg.fetch_mode == "http":
+            # production shape: repartition by the host salt FIRST so the
+            # mapInPandas fetch sees mostly-same-host batches (connection
+            # reuse), then fetch over real sockets
+            from brink_spark.operators.http_fetch import http_fetch_columns
+
+            n_parts0 = self.fetch_partition_count()
+            salt0 = F.xxhash64("host", "url_norm")
+            eligible_units = (
+                eligible_units.repartition(n_parts0, salt0)
+                if n_parts0 > 0
+                else eligible_units.repartition(salt0)
+            )
+            fetched = http_fetch_columns(
+                eligible_units, self.request_headers(), cfg.http_timeout
+            )
+        else:
+            fetched = eligible_units.join(pages_slim, "url_norm", "left")
         fetched = fetched.withColumn(
             "outcome",
             F.when(F.col("page_status").isNull(), "miss")
@@ -295,12 +330,16 @@ class CrawlEngine:
         )
         # salt = raw 64-bit hash (unbounded cardinality, no modulus ceiling);
         # partition count AQE-managed unless explicitly overridden — see
-        # fetch_partition_count
-        n_parts = self.fetch_partition_count()
-        salt = F.xxhash64("host", "url_norm")
-        fetched = (
-            fetched.repartition(n_parts, salt) if n_parts > 0 else fetched.repartition(salt)
-        )
+        # fetch_partition_count. In http mode the units were already salted
+        # BEFORE the socket fetch; don't shuffle the fetched bodies again.
+        if cfg.fetch_mode != "http":
+            n_parts = self.fetch_partition_count()
+            salt = F.xxhash64("host", "url_norm")
+            fetched = (
+                fetched.repartition(n_parts, salt)
+                if n_parts > 0
+                else fetched.repartition(salt)
+            )
         fetched = fetched.withColumn(
             "spans",
             F.when(F.col("outcome") == "ok", parse_spans_udf("body")).otherwise(
