@@ -144,10 +144,17 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # crawl: best-of-2 (one full repeat is the most this host's noise
+    # justifies for a ~70 s job; the first run also warms every stage shape)
     crawl_wall, crawl_stats = run_crawl_bench(spark, cpus)
+    w2, s2 = run_crawl_bench(spark, cpus)
+    crawl_spread = round(abs(w2 - crawl_wall), 3)
+    if w2 < crawl_wall:
+        crawl_wall, crawl_stats = w2, s2
     timings["crawl_small"] = round(crawl_wall, 3)
+    spread["crawl_small"] = crawl_spread
     total += crawl_wall
-    print(f"# crawl: {crawl_stats}", file=sys.stderr)
+    print(f"# crawl (best of 2, spread {crawl_spread}s): {crawl_stats}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -629,23 +629,24 @@ class CrawlEngine:
         # one row per distinct cookie name); the collect is bounded by the
         # number of distinct names, never by the number of pages.
         if "set_cookie" in fetchpage.columns:
-            got = (
-                fetchpage.filter(
-                    (F.col("outcome") != "miss") & F.col("set_cookie").isNotNull()
+            with self._phase("cookie-reduce"):
+                got = (
+                    fetchpage.filter(
+                        (F.col("outcome") != "miss") & F.col("set_cookie").isNotNull()
+                    )
+                    .select(
+                        F.substring_index("set_cookie", "=", 1).alias("_name"),
+                        # value = everything after the FIRST '=' ('' when
+                        # absent), matching str.partition('=')
+                        F.coalesce(
+                            F.element_at(F.split("set_cookie", "=", 2), 2), F.lit("")
+                        ).alias("_value"),
+                        "url_norm",
+                    )
+                    .groupBy("_name")
+                    .agg(F.max_by("_value", "url_norm").alias("_value"))
+                    .collect()
                 )
-                .select(
-                    F.substring_index("set_cookie", "=", 1).alias("_name"),
-                    # value = everything after the FIRST '=' ('' when absent),
-                    # matching str.partition('=')
-                    F.coalesce(
-                        F.element_at(F.split("set_cookie", "=", 2), 2), F.lit("")
-                    ).alias("_value"),
-                    "url_norm",
-                )
-                .groupBy("_name")
-                .agg(F.max_by("_value", "url_norm").alias("_value"))
-                .collect()
-            )
             for r in got:
                 self.cookie_jar[r["_name"]] = r["_value"]
             if got:
