@@ -224,8 +224,9 @@ def q_dedup_minhash_lsh(spark, sf):
     )
 
 
-SQL_MINHASH_LSH = f"""
-WITH {_SQL_SHINGLES},
+# shared CTE text: the MinHash/LSH signature pipeline (used by the pair
+# query and by the near-dup clustering query below)
+_SQL_MINHASH_CTES = f"""
 mins AS (
   SELECT doc_id, p.perm,
          MIN(substr(md5(CAST(p.perm AS VARCHAR) || '|' || sh), 1, 12)) AS mh
@@ -241,6 +242,11 @@ sig AS (
   SELECT s.* FROM sig0 s
   JOIN (SELECT band, mh FROM sig0 GROUP BY band, mh
         HAVING COUNT(*) <= {BAND_BUCKET_CAP}) small USING (band, mh))
+"""
+
+SQL_MINHASH_LSH = f"""
+WITH {_SQL_SHINGLES},
+{_SQL_MINHASH_CTES}
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM sig a JOIN sig b ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id
 """
@@ -1127,6 +1133,146 @@ FROM f
 """
 
 
+# --------------------------------------------------------------------------
+# corpus analytics round 3: tf-idf terms, stratified sampling, dup clustering
+
+
+def q_tfidf_top_terms(spark, sf):
+    """Top-5 terms per language by INTEGER tf-idf: score = tf_total *
+    ((n_docs_lang * 10^6) div df) — all-integer arithmetic so both engines
+    hash bit-exact (no float log idf). Ties broken by term. At scale: two
+    partial-agg groupBys + one window over lang (25 langs max — bounded
+    partitions, unlike a hot-key window)."""
+    d = _docs(spark, sf)
+    words = d.select(
+        "lang", "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.length("term") >= 3)
+    stats = words.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.count_distinct("doc_id").alias("df"),
+    )
+    ndocs = d.groupBy("lang").agg(F.count_distinct("doc_id").alias("n_docs"))
+    scored = stats.join(ndocs, "lang").withColumn(
+        "score", F.expr("tf * ((n_docs * 1000000) div df)").cast("bigint")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "term", "tf", "df", "score", "rank")
+    )
+
+
+SQL_TFIDF = """
+WITH words AS (
+  SELECT lang, doc_id, t.term
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(term)
+  WHERE len(t.term) >= 3),
+stats AS (
+  SELECT lang, term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+  FROM words GROUP BY lang, term),
+nd AS (SELECT lang, COUNT(DISTINCT doc_id) AS n_docs FROM documents GROUP BY lang),
+scored AS (
+  SELECT s.lang, s.term, s.tf, s.df,
+         CAST(s.tf * ((nd.n_docs * 1000000) // s.df) AS BIGINT) AS score
+  FROM stats s JOIN nd USING (lang)),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score DESC, term) AS rank
+  FROM scored)
+SELECT lang, term, tf, df, score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+SAMPLE_BYTE_CUTOFF = 64  # first md5 byte < 64 -> ~25% deterministic sample
+
+
+def q_sample_stratified(spark, sf):
+    """Deterministic hash-stratified sampling — the training-data op for
+    building fixed per-language subsets reproducibly on any cluster size:
+    keep a doc iff the first byte of md5(doc_id) < 64 (~25%), no RNG, no
+    driver state. Outputs per-lang totals so the oracle hashes exactly."""
+    d = _docs(spark, sf)
+    byte0 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    toks = F.size(F.split("text", " "))
+    return d.withColumn("_b", byte0).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("_b") < SAMPLE_BYTE_CUTOFF).alias("n_sampled"),
+        F.sum(
+            F.when(F.col("_b") < SAMPLE_BYTE_CUTOFF, toks).otherwise(F.lit(0))
+        ).alias("tokens_sampled"),
+    )
+
+
+_SQL_MD5_BYTE0 = (
+    "((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"
+)
+
+SQL_SAMPLE_STRATIFIED = f"""
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN {_SQL_MD5_BYTE0} < {SAMPLE_BYTE_CUTOFF} THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       CAST(SUM(CASE WHEN {_SQL_MD5_BYTE0} < {SAMPLE_BYTE_CUTOFF}
+                THEN len(string_split(text, ' ')) ELSE 0 END) AS BIGINT) AS tokens_sampled
+FROM documents GROUP BY lang
+"""
+
+
+def q_dedup_clusters(spark, sf):
+    """Near-dup CLUSTERING — the step after pair generation in a real
+    corpus-dedup job: LSH candidate pairs -> undirected graph -> 3 rounds
+    of min-label propagation -> per-cluster size (label = the cluster's
+    canonical/kept doc_id). Composes q_dedup_minhash_lsh with the CC
+    kernel; each round is one shuffle keyed on dst."""
+    pairs = q_dedup_minhash_lsh(spark, sf)
+    und = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    und = und.distinct()
+    nodes = und.select(F.col("src").alias("node")).distinct()
+    labels = nodes.withColumn("lbl", F.col("node"))
+    for _ in range(3):
+        nb = (
+            und.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("lbl").alias("nb_min"))
+        )
+        labels = labels.join(nb, "node", "left").select(
+            "node", F.least("lbl", F.coalesce("nb_min", "lbl")).alias("lbl")
+        )
+    return labels.groupBy(F.col("lbl").alias("canonical_doc")).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+
+
+def _sql_cc_round(prev: str, out: str) -> str:
+    return f"""
+{out} AS (
+  SELECT l.node, LEAST(l.lbl, COALESCE(s.nb_min, l.lbl)) AS lbl
+  FROM {prev} l LEFT JOIN (
+    SELECT u.dst AS node, MIN(r.lbl) AS nb_min
+    FROM und u JOIN {prev} r ON r.node = u.src
+    GROUP BY u.dst) s ON s.node = l.node)"""
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH {_SQL_SHINGLES},
+{_SQL_MINHASH_CTES},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id),
+und AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM und),
+{_sql_cc_round("l0", "l1")},
+{_sql_cc_round("l1", "l2")},
+{_sql_cc_round("l2", "l3")}
+SELECT lbl AS canonical_doc, COUNT(*) AS cluster_size FROM l3 GROUP BY lbl
+"""
+
+
 PIPELINE_QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
@@ -1148,4 +1294,7 @@ PIPELINE_QUERIES = {
     "token_stats_by_lang": (q_token_stats_by_lang, SQL_TOKEN_STATS),
     "token_bpe_stats": (q_token_bpe_stats, SQL_TOKEN_BPE),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
+    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF),
+    "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
 }
