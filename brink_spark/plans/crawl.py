@@ -191,6 +191,31 @@ class CrawlEngine:
         self.store.write(frontier0, "frontier", 0)
         self._pending_frontier_count = obs.get["n"]
 
+    def expire_visited(self, urls: DataFrame) -> None:
+        """Recrawl support: remove the given ``url_norm``s from the LIVE
+        seen set. A tombstone (url_norm, expired_asof_wave=last committed
+        wave) drops every visited row at or below it, so the next encounter
+        FETCHES again and the re-fetch (higher wave) wins over the
+        tombstone. With the cuckoo filter the fingerprints are also deleted
+        from the shard tables (exact — that is what the cuckoo option is
+        for); with Bloom the stale bits stay set and expired URLs merely
+        pay the exact-join fallthrough (never incorrect). Time-travel
+        reads keep showing pre-expiry history; compaction materializes the
+        post-expiry state and clears covered tombstones."""
+        from brink_spark.operators.cuckoo import CuckooSeenSet
+
+        manifest = self.store.read_manifest() or Manifest()
+        self.store.write_tombstones(urls, manifest.last_wave)
+        if (
+            isinstance(self.bloom, CuckooSeenSet)
+            and manifest.last_wave >= 0
+            and self.store.has("bloom", manifest.last_wave)
+        ):
+            shards = self.store.read(self.spark, "bloom", manifest.last_wave)
+            self.store.rewrite(
+                self.bloom.deleted(urls, shards), "bloom", manifest.last_wave
+            )
+
     def run(
         self,
         fixture=None,
@@ -240,6 +265,21 @@ class CrawlEngine:
                 self.cookie_jar = dict(manifest.cookie_jar)
                 self.auth_suppressed_since_wave = manifest.auth_suppressed_since_wave
                 self._check_auth_suppression(wave)
+            # new seeds on resume: continue the crawl with extra entry
+            # points (the recrawl companion to expire_visited) — union them
+            # into the next wave's frontier
+            if seeds is not None:
+                extra = seeds.select(
+                    F.lit("start").alias("linked_from"),
+                    F.col("url"),
+                    F.col("priority").cast("int").alias("priority"),
+                )
+                if self.store.has("frontier", wave):
+                    existing = self.store.read(self.spark, "frontier", wave).select(
+                        "linked_from", "url", "priority"
+                    )
+                    extra = existing.unionByName(extra)
+                self.store.rewrite(extra, "frontier", wave)
 
         if self.pages is not None:
             cookie_cols = ["set_cookie"] if "set_cookie" in self.pages.columns else []

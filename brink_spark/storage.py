@@ -103,6 +103,17 @@ class CrawlStore:
         df.write.mode("overwrite").parquet(path)
         return path
 
+    def rewrite(self, df, table: str, wave: int) -> str:
+        """Overwrite a wave dir that the df's OWN lineage reads (plain
+        overwrite mode deletes the input files before the job runs):
+        write to a temp dir, then swap."""
+        final = self.wave_dir(table, wave)
+        tmp = final + ".rewrite.tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(final, ignore_errors=True)
+        os.rename(tmp, final)
+        return final
+
     def read(self, spark, table: str, wave: int):
         return spark.read.parquet(self.wave_dir(table, wave))
 
@@ -121,11 +132,53 @@ class CrawlStore:
                 paths.append(self.wave_dir("visited", w))
         return paths
 
+    # -- visited-entry expiry (recrawl support) -----------------------------
+    # Tombstones are engine-level metadata beside the manifest: one parquet
+    # dir of (url_norm, expired_asof_wave) rows, appended by
+    # CrawlEngine.expire_visited. The LIVE seen set (read_visited) drops a
+    # visited row iff its wave <= the url's latest tombstone — so a later
+    # RE-fetch (higher wave) wins again. Time-travel reads (read_asof) show
+    # pre-expiry history unchanged; compaction materializes the filtered
+    # view and clears covered tombstones.
+    @property
+    def _tombstone_dir(self) -> str:
+        return os.path.join(self.root, "tombstones")
+
+    def write_tombstones(self, urls_df, asof_wave: int) -> None:
+        from pyspark.sql import functions as F
+
+        out = urls_df.select("url_norm").distinct().withColumn(
+            "expired_asof_wave", F.lit(asof_wave).cast("int")
+        )
+        os.makedirs(self._tombstone_dir, exist_ok=True)
+        out.write.mode("append").parquet(self._tombstone_dir)
+
+    def _apply_tombstones(self, spark, df):
+        from pyspark.sql import functions as F
+
+        if df is None or not os.path.isdir(self._tombstone_dir):
+            return df
+        try:
+            tomb = spark.read.parquet(self._tombstone_dir)
+        except Exception:  # dir exists but holds no parquet yet
+            return df
+        mx = tomb.groupBy("url_norm").agg(
+            F.max("expired_asof_wave").alias("_exp")
+        )
+        return (
+            df.join(mx, "url_norm", "left")
+            .filter(F.col("wave") > F.coalesce(F.col("_exp"), F.lit(-1)))
+            .drop("_exp")
+        )
+
+    def clear_tombstones(self) -> None:
+        shutil.rmtree(self._tombstone_dir, ignore_errors=True)
+
     def read_visited(self, spark, manifest: Manifest):
         paths = self.visited_paths(manifest)
         if not paths:
             return None
-        return spark.read.parquet(*paths)
+        return self._apply_tombstones(spark, spark.read.parquet(*paths))
 
     # tables whose per-wave dirs form an append log, so 'state as of wave K'
     # = union of dirs 0..K. frontier / edges / fetchpage / bloom are
@@ -176,7 +229,9 @@ class CrawlStore:
         paths = self.visited_paths(manifest)
         if not paths:
             return
-        df = spark.read.parquet(*paths)
+        # tombstone-filtered LIVE view: compaction materializes the
+        # post-expiry state, after which the covered tombstones are cleared
+        df = self._apply_tombstones(spark, spark.read.parquet(*paths))
         # target partition count from input SIZE (DataFrame-pure — no RDD
         # API): one output partition per ~128 MB of input files, min 1
         n_bytes = sum(
@@ -191,6 +246,9 @@ class CrawlStore:
         old_compacted = manifest.compacted_upto
         manifest.compacted_upto = manifest.last_wave
         self.commit(manifest)
+        # only AFTER the commit references the filtered rollup (a crash
+        # in between must not resurrect expired entries)
+        self.clear_tombstones()  # rollup covers every wave <= last_wave
         # old per-wave dirs are now shadowed; drop them to bound file count
         for w in range(0, manifest.compacted_upto + 1):
             shutil.rmtree(self.wave_dir("visited", w), ignore_errors=True)

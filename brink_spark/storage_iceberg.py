@@ -103,6 +103,11 @@ class IcebergCrawlStore(CrawlStore):
             out.writeTo(t).overwritePartitions()
         return t
 
+    def rewrite(self, df, table: str, wave: int) -> str:
+        # Iceberg snapshot isolation: the write reads the CURRENT snapshot
+        # while staging new files, so self-referencing overwrites are safe
+        return self.write(df, table, wave)
+
     def read(self, spark, table: str, wave: int):
         return (
             spark.read.table(self._t(table))
@@ -150,7 +155,9 @@ class IcebergCrawlStore(CrawlStore):
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
-        return df
+        # tombstones (visited-entry expiry) are driver-side parquet beside
+        # the manifest — shared mechanics with the parquet backend
+        return self._apply_tombstones(spark, df)
 
     def read_asof(self, spark, table: str, wave: int):
         if table not in self.APPEND_TABLES:
@@ -191,6 +198,8 @@ class IcebergCrawlStore(CrawlStore):
             self.spark.sql(
                 f"DELETE FROM {self._t('visited_compacted')} WHERE _upto = {old}"
             )
+        # rollup materialized the post-expiry view (committed above)
+        self.clear_tombstones()
 
     # -- lifecycle ------------------------------------------------------------
     def clean_uncommitted(self, last_wave: int) -> None:
