@@ -40,6 +40,9 @@ HEADLINE = [
     "span_explode",
     "doc_rolling_hash",
     "graph_pagerank",
+    "tfidf_top_terms",
+    "sample_stratified",
+    "dedup_clusters",
 ]
 
 CRAWL_WAVES = 10

@@ -1155,9 +1155,21 @@ def q_tfidf_top_terms(spark, sf):
     scored = stats.join(ndocs, "lang").withColumn(
         "score", F.expr("tf * ((n_docs * 1000000) div df)").cast("bigint")
     )
-    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.col("term"))
+    # exact two-phase top-k (same trick as operators/politeness.py): a
+    # single window over lang would sort one language's ENTIRE vocabulary
+    # (10^6+ terms) in one task at web scale. Phase 1 takes the top-5
+    # within (lang, term-hash salt) — any global top-5 row is necessarily
+    # in its salt group's top-5 — phase 2 ranks the <= 5*SALTS survivors.
+    SALTS = 16
+    w1 = Window.partitionBy(
+        "lang", F.pmod(F.xxhash64("term"), F.lit(SALTS))
+    ).orderBy(F.desc("score"), F.col("term"))
+    survivors = scored.withColumn("_r1", F.row_number().over(w1)).filter(
+        F.col("_r1") <= 5
+    )
+    w2 = Window.partitionBy("lang").orderBy(F.desc("score"), F.col("term"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        survivors.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= 5)
         .select("lang", "term", "tf", "df", "score", "rank")
     )
