@@ -43,6 +43,9 @@ HEADLINE = [
     "tfidf_top_terms",
     "sample_stratified",
     "dedup_clusters",
+    "repetition_stats",
+    "decontaminate",
+    "lm_score_bigram",
 ]
 
 CRAWL_WAVES = 10

@@ -87,15 +87,32 @@ def http_fetch_columns(
                 # deterministic fetch order within the batch
                 for idx in pdf.sort_values("url").index:
                     url = pdf["url"].loc[idx]
-                    parsed = urlsplit(url)
-                    target = parsed.path or "/"
-                    if parsed.query:
-                        target += "?" + parsed.query
                     try:
-                        c = _conn(parsed.scheme, parsed.netloc)
-                        c.request("GET", target, headers=headers)
-                        resp = c.getresponse()
-                        raw = resp.read()
+                        # follow 3xx Location chains like Go's zero-value
+                        # http.Client (brink.go:194): defaultCheckRedirect
+                        # allows 9 hops, the 10th redirect is an error —
+                        # which lands on the miss path below
+                        resp = raw = None
+                        for hop in range(10):
+                            parsed = urlsplit(url)
+                            target = parsed.path or "/"
+                            if parsed.query:
+                                target += "?" + parsed.query
+                            c = _conn(parsed.scheme, parsed.netloc)
+                            c.request("GET", target, headers=headers)
+                            resp = c.getresponse()
+                            raw = resp.read()
+                            loc = resp.headers.get("Location")
+                            if resp.status in (301, 302, 303, 307, 308) and loc:
+                                if hop == 9:
+                                    raise OSError("stopped after 10 redirects")
+                                url = (
+                                    loc
+                                    if "://" in loc
+                                    else f"{parsed.scheme}://{parsed.netloc}{loc}"
+                                )
+                                continue
+                            break
                         cl = resp.headers.get("Content-Length")
                         stat.loc[idx] = int(resp.status)
                         clen.loc[idx] = int(cl) if cl is not None else len(raw)

@@ -265,6 +265,18 @@ def crawl_oracle(fixture: SiteFixture, config: Optional[CrawlConfig] = None) -> 
             res.crawl_log.append((wave, un))
             first = edges[0]
             page = pages.get(un)
+            # follow 3xx Location chains (brink.go:194 uses the zero-value
+            # &http.Client{}; Go's defaultCheckRedirect allows 9 hops and
+            # errors on the 10th → client.Do error → the miss path). The
+            # caller sees only the FINAL response; the requested url_norm
+            # is what gets visited and resolved against.
+            hops = 0
+            while page is not None and page.redirect_to is not None and hops < 9:
+                tn = normalize_url(page.redirect_to, ignored, fuzzy)
+                page = pages.get(tn) if tn is not None else None
+                hops += 1
+            if page is not None and page.redirect_to is not None:
+                page = None  # 10th redirect refused — transport error
             if page is None:
                 m["n_miss"] += 1
                 continue

@@ -56,6 +56,7 @@ from brink_spark.operators.filters import (
     with_robots_denied,
 )
 from brink_spark.operators.politeness import apply_politeness, budget_per_host
+from brink_spark.operators.redirects import collapse_redirect_chains
 from brink_spark.operators.seen import BloomSeenSet, split_seen
 from brink_spark.storage import CrawlStore, Manifest
 
@@ -283,13 +284,22 @@ class CrawlEngine:
 
         if self.pages is not None:
             cookie_cols = ["set_cookie"] if "set_cookie" in self.pages.columns else []
+            redirect_cols = (
+                ["redirect_to"] if "redirect_to" in self.pages.columns else []
+            )
             pages_slim = self.pages.select(
                 "url_norm",
                 F.col("status").alias("page_status"),
                 "content_length",
                 "body",
                 *cookie_cols,
+                *redirect_cols,
             )
+            # 3xx chains collapse ONCE per run (Go's http.Client follows
+            # redirects inside Fetch, brink.go:194; operators/redirects.py
+            # has the full semantics) — every wave's fetch join then sees
+            # final payloads under the original url_norm keys
+            pages_slim = collapse_redirect_chains(pages_slim, self.norm_udf)
         elif self.config.fetch_mode == "http":
             pages_slim = None  # real sockets; no synthetic pages table
         else:

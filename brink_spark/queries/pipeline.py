@@ -1285,6 +1285,185 @@ SELECT lbl AS canonical_doc, COUNT(*) AS cluster_size FROM l3 GROUP BY lbl
 """
 
 
+# --------------------------------------------------------------------------
+# repetition stats (Gopher-style quality rule: fraction of duplicate
+# word trigrams within a document)
+
+
+def q_repetition_stats(spark, sf):
+    """Within-document repetition — the Gopher/MassiveText quality rule
+    'fraction of duplicated n-grams': per doc, the share of word trigrams
+    that are repeats, as integer permille (bit-exact both engines; no
+    floats). Scale shape: a pure per-row projection over array HOFs —
+    NO shuffle, no explode; the trigram array never leaves its row."""
+    d = _docs(spark, sf).withColumn("w", F.split("text", " "))
+    d = d.withColumn("n_words", F.size("w"))
+    d = d.withColumn(
+        "tris",
+        F.when(
+            F.col("n_words") >= 3,
+            F.expr(
+                "transform(sequence(0, n_words - 3),"
+                " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+            ),
+        ).otherwise(F.expr("cast(array() as array<string>)")),
+    )
+    return d.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.size("tris").cast("bigint").alias("n_trigrams"),
+        F.size(F.array_distinct("tris")).cast("bigint").alias("n_distinct_trigrams"),
+        F.when(
+            F.size("tris") > 0,
+            F.expr(
+                "(cast(size(tris) - size(array_distinct(tris)) as bigint) * 1000)"
+                " div size(tris)"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("rep_permille"),
+    )
+
+
+SQL_REPETITION = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+t AS (
+  SELECT doc_id, len(w) AS n_words,
+    CASE WHEN len(w) >= 3 THEN
+      list_transform(range(1, len(w) - 1),
+                     i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+    ELSE CAST([] AS VARCHAR[]) END AS tris
+  FROM w)
+SELECT doc_id, n_words,
+  len(tris) AS n_trigrams,
+  len(list_distinct(tris)) AS n_distinct_trigrams,
+  CASE WHEN len(tris) > 0
+    THEN ((len(tris) - len(list_distinct(tris))) * 1000) // len(tris)
+    ELSE 0 END AS rep_permille
+FROM t
+"""
+
+
+# --------------------------------------------------------------------------
+# benchmark decontamination (eval-set n-gram overlap)
+
+# real deployments use 8-13-word grams (GPT-3 appendix C: 13); the
+# synthetic corpus's tiny vocabulary makes 3 the demonstrative choice —
+# exact-match semantics are identical at any N
+DECON_NGRAM = 3
+DECON_EVAL_MOD = 53  # doc_id % 53 == 0 -> the deterministic "benchmark" slice
+
+
+def q_decontaminate(spark, sf):
+    """Benchmark decontamination, the GPT-3/C4-style n-gram overlap
+    check: flag every training doc sharing any word n-gram with the
+    held-out eval slice (deterministically doc_id % 53 == 0). Scale
+    shape: the eval n-gram set is orders of magnitude smaller than the
+    corpus -> distinct + broadcast; the training side streams through
+    one explode + broadcast-hash-join + partial-agg groupBy, no
+    corpus-sized shuffle on the join."""
+    d = _docs(spark, sf).withColumn("w", F.split("text", " "))
+    grams = (
+        d.filter(F.size("w") >= DECON_NGRAM)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(w) - {DECON_NGRAM}),"
+                    f" i -> concat_ws(' ', slice(w, i + 1, {DECON_NGRAM})))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    ev = (
+        grams.filter(F.col("doc_id") % DECON_EVAL_MOD == 0)
+        .select("gram")
+        .distinct()
+    )
+    tr = grams.filter(F.col("doc_id") % DECON_EVAL_MOD != 0)
+    return (
+        tr.join(F.broadcast(ev), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+    )
+
+
+SQL_DECONTAMINATE = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, u.gram
+  FROM (SELECT doc_id,
+               list_transform(range(1, len(w) - {DECON_NGRAM - 2}),
+                              i -> array_to_string(w[i:i+{DECON_NGRAM - 1}], ' ')) AS grams
+        FROM w WHERE len(w) >= {DECON_NGRAM}) t,
+  UNNEST(t.grams) AS u(gram)),
+ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % {DECON_EVAL_MOD} = 0),
+tr AS (SELECT doc_id, gram FROM g WHERE doc_id % {DECON_EVAL_MOD} <> 0)
+SELECT doc_id, COUNT(*) AS n_contaminated_grams
+FROM tr JOIN ev USING (gram) GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# bigram LM quality score (CCNet-style, integer-exact)
+
+LM_SCALE = 1_000_000
+
+
+def q_lm_score_bigram(spark, sf):
+    """CCNet-style language-model quality proxy, all-integer so both
+    engines hash bit-exact: corpus bigram MLE — per bigram instance the
+    scaled conditional count (C(w1,w2) * 10^6) div C(w1•), summed and
+    floor-averaged per doc. High score = predictable text (low 'LM
+    perplexity' proxy); the real CCNet filter thresholds exactly such a
+    per-doc mean. Scale shape: count tables are pre-aggregated (vocab-
+    bounded, tiny vs corpus) so AQE broadcasts them; the instance stream
+    is one explode + two joins + one partial-agg groupBy."""
+    d = _docs(spark, sf).withColumn("w", F.split("text", " "))
+    big = (
+        d.filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 2),"
+                    " i -> struct(w[i] as w1, w[i+1] as w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    cb = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_big"))
+    cu = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c_head"))
+    scored = (
+        big.join(cb, ["w1", "w2"])
+        .join(cu, "w1")
+        .withColumn("inst", F.expr(f"(c_big * {LM_SCALE}) div c_head"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.expr("sum(inst) div count(1)").cast("bigint").alias("lm_score"),
+    )
+
+
+SQL_LM_SCORE = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+big AS (
+  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+  FROM w, UNNEST(range(1, len(w))) AS t(i)
+  WHERE len(w) >= 2),
+cb AS (SELECT w1, w2, COUNT(*) AS c_big FROM big GROUP BY w1, w2),
+cu AS (SELECT w1, COUNT(*) AS c_head FROM big GROUP BY w1)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       CAST(CAST(SUM((c_big * {LM_SCALE}) // c_head) AS BIGINT) // COUNT(*)
+            AS BIGINT) AS lm_score
+FROM big JOIN cb USING (w1, w2) JOIN cu USING (w1)
+GROUP BY doc_id
+"""
+
+
 PIPELINE_QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
@@ -1309,4 +1488,7 @@ PIPELINE_QUERIES = {
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "repetition_stats": (q_repetition_stats, SQL_REPETITION),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "lm_score_bigram": (q_lm_score_bigram, SQL_LM_SCORE),
 }

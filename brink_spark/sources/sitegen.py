@@ -70,6 +70,12 @@ class Page:
     # optional Set-Cookie response ("name=value"): merged into the shared
     # jar when fetched (reference brink.go:200-204, addCookies 267-274)
     set_cookie: str | None = None
+    # optional Location target for 3xx rows: the reference's http.Client
+    # follows redirects transparently (brink.go:194 `c.client.Do` with the
+    # zero-value &http.Client{}, factory.go:42 — Go's defaultCheckRedirect
+    # allows 9 hops, erroring on the 10th), so a fetch of this URL yields
+    # the chain's FINAL status/body/cookies
+    redirect_to: str | None = None
 
 
 @dataclass
@@ -228,6 +234,26 @@ def generate_site(scale: str = "tiny", seed: int = 42) -> SiteFixture:
         p.spans = spans
         p.body = render_html(spans)
 
+    # --- redirect targets for 3xx rows ----------------------------------
+    # Derived from a hash of the page's own url_norm, NOT from rng draws —
+    # keeps the site graph byte-identical to fixtures generated before the
+    # redirect field existed (same discipline as the <a target> derivation
+    # above). Mix: mostly a real page (which may itself be a 301 → natural
+    # chains), some dangling targets (transport error mid-chain → miss, the
+    # Go client.Do error path), and a few self-loops (hop-cap → miss).
+    import zlib
+
+    for p in pages:
+        if p.status == 301:
+            h = zlib.crc32(p.url_norm.encode())
+            r = h % 100
+            if r < 6:
+                p.redirect_to = f"{p.scheme}://{p.host}/gone/g{h % 10**6}"
+            elif r < 10:
+                p.redirect_to = p.url  # self-loop: >9 hops → client error
+            else:
+                p.redirect_to = pages[h % n].url
+
     # --- robots (rules + per-host politeness budgets) -------------------
     robots: list[dict] = []
     for host in hosts:
@@ -308,6 +334,9 @@ def pages_to_parquet(fixture: SiteFixture, path: str, rows_per_file: int = 100_0
         ]
     )
     pages = fixture.pages
+    has_redirects = any(p.redirect_to is not None for p in pages)
+    if has_redirects:
+        schema = schema.append(pa.field("redirect_to", pa.string()))
     for i in range(0, len(pages), rows_per_file):
         chunk = pages[i : i + rows_per_file]
         table = pa.table(
@@ -332,6 +361,11 @@ def pages_to_parquet(fixture: SiteFixture, path: str, rows_per_file: int = 100_0
                     ]
                     for p in chunk
                 ],
+                **(
+                    {"redirect_to": [p.redirect_to for p in chunk]}
+                    if has_redirects
+                    else {}
+                ),
             },
             schema=schema,
         )
@@ -379,6 +413,11 @@ def pages_to_spark(spark, fixture: SiteFixture):
     if any(p.set_cookie is not None for p in fixture.pages):
         schema = schema.add(StructField("set_cookie", StringType()))
         data["set_cookie"] = [p.set_cookie for p in fixture.pages]
+    # redirect_to column only when the fixture has 3xx chains — its presence
+    # arms the engine's run-level chain collapse (operators/redirects.py)
+    if any(p.redirect_to is not None for p in fixture.pages):
+        schema = schema.add(StructField("redirect_to", StringType()))
+        data["redirect_to"] = [p.redirect_to for p in fixture.pages]
     rows = pd.DataFrame(data)
     return spark.createDataFrame(rows, schema=schema)
 

@@ -50,11 +50,13 @@ def write_warc(pages, path: str, index: bool = True) -> None:
     with open(path, "wb") as fh:
         for p in pages:
             body = (p.body or "").encode("utf-8")
+            loc = getattr(p, "redirect_to", None)
             http = (
                 f"HTTP/1.1 {p.status} X".encode()
                 + _CRLF
                 + b"Content-Type: text/html"
                 + _CRLF
+                + (f"Location: {loc}".encode() + _CRLF if loc else b"")
                 + f"Content-Length: {len(body)}".encode()
                 + _CRLF
                 + _CRLF
@@ -117,14 +119,18 @@ def build_cdx(path: str) -> int:
     return len(entries)
 
 
-def _parse_warc_bytes(data: bytes) -> Iterator[tuple[str, int, str, int]]:
+def _parse_warc_bytes(
+    data: bytes,
+) -> Iterator[tuple[str, int, str, int, Optional[str]]]:
     """Linear scan of one archive: yield (target_uri, status, body,
-    body_bytes) per response record. Length-prefixed framing: the WARC
-    Content-Length header bounds the payload exactly (bodies may contain
-    blank lines). ``body_bytes`` is the RAW payload byte length — the
-    decoded string can be longer for non-UTF-8 bodies (each invalid byte
-    becomes a 3-byte replacement char), and content-length gates must see
-    the wire size."""
+    body_bytes, location) per response record. Length-prefixed framing:
+    the WARC Content-Length header bounds the payload exactly (bodies may
+    contain blank lines). ``body_bytes`` is the RAW payload byte length —
+    the decoded string can be longer for non-UTF-8 bodies (each invalid
+    byte becomes a 3-byte replacement char), and content-length gates
+    must see the wire size. ``location`` is the HTTP Location header when
+    present (3xx records) — it feeds the pages table's ``redirect_to``
+    column so crawls over archives follow chains like live fetches."""
     pos = 0
     n = len(data)
     while pos < n:
@@ -157,8 +163,14 @@ def _parse_warc_bytes(data: bytes) -> Iterator[tuple[str, int, str, int]]:
             status = int(parts[1])
         except (IndexError, ValueError):
             continue
+        location = None
+        for hline in payload[:http_end].decode("utf-8", "replace").split("\r\n")[1:]:
+            hk, _, hv = hline.partition(":")
+            if hk.strip().lower() == "location":
+                location = hv.strip()
+                break
         raw_body = payload[http_end + 4 :]
-        yield uri, status, raw_body.decode("utf-8", "replace"), len(raw_body)
+        yield uri, status, raw_body.decode("utf-8", "replace"), len(raw_body), location
 
 
 def warc_to_pages(
@@ -180,16 +192,16 @@ def warc_to_pages(
         for pdf in batches:
             rows = []
             for blob in pdf["content"]:
-                for uri, status, body, nbytes in _parse_warc_bytes(bytes(blob)):
+                for uri, status, body, nbytes, loc in _parse_warc_bytes(bytes(blob)):
                     un = normalize_url(uri, ignored, fuzzy)
                     sh = scheme_and_host(un) if un else None
                     scheme, host = sh if sh else (None, None)
-                    rows.append((un, uri, host, scheme, status, nbytes, body))
+                    rows.append((un, uri, host, scheme, status, nbytes, body, loc))
             yield pd.DataFrame(
                 rows,
                 columns=[
                     "url_norm", "url", "host", "scheme",
-                    "status", "content_length", "body",
+                    "status", "content_length", "body", "redirect_to",
                 ],
             )
 
@@ -198,7 +210,7 @@ def warc_to_pages(
         _parse,
         schema=(
             "url_norm string, url string, host string, scheme string, "
-            "status int, content_length long, body string"
+            "status int, content_length long, body string, redirect_to string"
         ),
     )
 
@@ -254,16 +266,16 @@ def warc_to_pages_indexed(
                 with open(path, "rb") as fh:
                     fh.seek(int(start))
                     buf = fh.read(int(end) - int(start))
-                for uri, status, body, nbytes in _parse_warc_bytes(buf):
+                for uri, status, body, nbytes, loc in _parse_warc_bytes(buf):
                     un = normalize_url(uri, ignored, fuzzy)
                     sh = scheme_and_host(un) if un else None
                     scheme, host = sh if sh else (None, None)
-                    rows.append((un, uri, host, scheme, status, nbytes, body))
+                    rows.append((un, uri, host, scheme, status, nbytes, body, loc))
             yield pd.DataFrame(
                 rows,
                 columns=[
                     "url_norm", "url", "host", "scheme",
-                    "status", "content_length", "body",
+                    "status", "content_length", "body", "redirect_to",
                 ],
             )
 
@@ -271,6 +283,6 @@ def warc_to_pages_indexed(
         _parse_range,
         schema=(
             "url_norm string, url string, host string, scheme string, "
-            "status int, content_length long, body string"
+            "status int, content_length long, body string, redirect_to string"
         ),
     )

@@ -23,6 +23,7 @@ import os
 from pyspark.sql import SparkSession, functions as F
 from pyspark.sql.types import BooleanType, StructField, StructType
 
+from brink_spark.operators.redirects import collapse_redirect_chains
 from brink_spark.plans.crawl import FRONTIER_SCHEMA, CrawlEngine
 
 
@@ -81,11 +82,18 @@ class StreamingCrawl:
         drains — the module's stated use case: NEW seed batches may arrive
         (``seed(...)``) at any time, including after idle, and the crawl
         resumes from the accumulated visited state."""
-        self._pages_slim = self.engine.pages.select(
-            "url_norm",
-            F.col("status").alias("page_status"),
-            "content_length",
-            "body",
+        redirect_cols = (
+            ["redirect_to"] if "redirect_to" in self.engine.pages.columns else []
+        )
+        self._pages_slim = collapse_redirect_chains(
+            self.engine.pages.select(
+                "url_norm",
+                F.col("status").alias("page_status"),
+                "content_length",
+                "body",
+                *redirect_cols,
+            ),
+            self.engine.norm_udf,
         )
         if seeds_df is not None:
             self.seed(seeds_df)
