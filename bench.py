@@ -46,6 +46,8 @@ HEADLINE = [
     "repetition_stats",
     "decontaminate",
     "lm_score_bigram",
+    "volume_shipping",
+    "promo_effect",
 ]
 
 CRAWL_WAVES = 10

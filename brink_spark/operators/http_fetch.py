@@ -57,13 +57,19 @@ PAGE_FIELDS = [
 
 
 def http_fetch_columns(
-    units: DataFrame, headers: dict[str, str], timeout: float = 10.0
+    units: DataFrame,
+    headers: dict[str, str],
+    timeout: float = 10.0,
+    guard_col: str | None = None,
 ) -> DataFrame:
     """Fetch each unit's ``url`` over HTTP, appending the page columns —
     the drop-in replacement for ``units.join(pages_slim, 'url_norm',
-    'left')`` in fetch_stage. All unit columns pass THROUGH the
+    'left')`` in the fused wave stage. All unit columns pass THROUGH the
     mapInPandas (no join-back shuffle), so the caller's host-salted
-    partitioning is what the connections see."""
+    partitioning is what the connections see. With ``guard_col`` (the
+    fused edge-grain input carries cached/deferred rows too) only rows
+    where that boolean column is true are fetched; the rest keep null
+    page columns."""
     out_schema = StructType(list(units.schema.fields) + PAGE_FIELDS)
 
     def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -86,6 +92,8 @@ def http_fetch_columns(
                 cookie = stat.copy()
                 # deterministic fetch order within the batch
                 for idx in pdf.sort_values("url").index:
+                    if guard_col is not None and not bool(pdf[guard_col].loc[idx]):
+                        continue  # non-fetch row: null page columns
                     url = pdf["url"].loc[idx]
                     try:
                         # follow 3xx Location chains like Go's zero-value

@@ -519,21 +519,25 @@ class CrawlEngine:
 
     # ------------------------------------------------------------------
     def _run_wave(self, wave: int, manifest: Manifest, pages_slim: DataFrame):
-        """One wave as two materialized stages + shallow projections.
+        """One wave as ONE materialized stage + shallow projections.
 
-        Stage 1 (``edges`` scratch table): normalize -> seen-split (Bloom
-        prefilter + exact joins) -> per-unit edge ranking -> robots gate ->
-        politeness eligibility, joined back onto every edge. Stage 2
-        (``fetchpage`` scratch table): eligible units x pages equi-join +
-        gates + span parse, host-salt repartitioned. Every output table
-        (fetchlog/visited/bloom/results/frontier) is then a flat projection
-        of the two scratch parquet tables.
+        The ``wavestage`` scratch table (edge grain): normalize ->
+        seen-split (Bloom prefilter + exact joins) -> per-unit edge
+        ranking -> robots gate -> politeness eligibility joined back onto
+        every edge, THEN the fetch columns ride the same write — pages
+        equi-join (or socket fetch) + gates + host-salted span parse,
+        populated only on each unit's rank-1 eligible row. Every output
+        table (fetchlog/visited/bloom/results/frontier) is a flat
+        filter/projection of this one scratch parquet table.
 
-        Materializing the deep DAG exactly once keeps the driver out of the
-        picture: without this, each action re-analyzes the full lineage
-        (Catalyst planning is serial driver time) and the wave's wall clock
-        is dominated by plan depth rather than data. This is also the
-        Iceberg-native shape: scratch stages are ordinary tables.
+        Materializing the deep DAG exactly once keeps the driver out of
+        the picture: without this, each action re-analyzes the full
+        lineage (Catalyst planning is serial driver time) and the wave's
+        wall clock is dominated by plan depth rather than data. r2 used
+        TWO materializations (edges, then fetchpage); fusing them saves a
+        full plan+submit+write+read cycle per wave — the fixed cost that
+        dominated the wave wall at bench scale. This is also the
+        Iceberg-native shape: the scratch stage is an ordinary table.
 
         Metrics ride the writes: every per-wave counter is an Observation
         attached to the FINAL pre-write node of an existing write job (a
@@ -644,30 +648,142 @@ class CrawlEngine:
             F.col("status").cast("int").alias("seen_status"),
         )
         _fresh1 = (F.col("edge_kind") == "fresh") & (F.col("_edge_rank") == 1)
-        obs_edges = Observation(f"w{wave}_edges")
-        edges_out = fresh_flagged.unionByName(cached_flagged).observe(
-            obs_edges,
+        _fetchable = _fresh1 & F.col("eligible")
+        combined = fresh_flagged.unionByName(cached_flagged)
+
+        # --- fused fetch (A1/H4) + gates (C1/C2) + parse (D1), edge grain --
+        # One materialization per wave: the fetch/parse columns ride the
+        # SAME write as the edge flags (r2 wrote 'edges' then 'fetchpage' —
+        # two plan+submit+write+read cycles whose fixed cost dominated the
+        # wave wall at bench scale). Fetch columns populate only on the
+        # rank-1 eligible row of each unit; every output table below is a
+        # flat filter/projection of this one scratch table.
+        if cfg.fetch_mode == "http":
+            from brink_spark.operators.http_fetch import http_fetch_columns
+
+            # salt BEFORE the socket fetch so connections see mostly-
+            # same-host batches (operators/http_fetch.py)
+            combined = combined.withColumn("_do_fetch", _fetchable)
+            n_parts = self.fetch_partition_count()
+            salt = F.xxhash64("host", "url_norm")
+            combined = (
+                combined.repartition(n_parts, salt)
+                if n_parts > 0
+                else combined.repartition(salt)
+            )
+            joined = http_fetch_columns(
+                combined,
+                self.request_headers(),
+                cfg.http_timeout,
+                guard_col="_do_fetch",
+            ).drop("_do_fetch")
+        else:
+            # conditional equi-join key: non-fetch rows get a key no
+            # normalized URL can collide with (\x00 prefix) instead of
+            # NULL — nulls would pile every cached/deferred edge of the
+            # wave into one join partition (skew); the prefixed key keeps
+            # the shuffle uniform while never matching a page
+            pages_j = pages_slim.withColumnRenamed("url_norm", "_fk")
+            joined = (
+                combined.withColumn(
+                    "_fk",
+                    F.when(_fetchable, F.col("url_norm")).otherwise(
+                        F.concat(F.lit("\x00skip:"), F.col("url_norm"))
+                    ),
+                )
+                .join(pages_j, "_fk", "left")
+                .drop("_fk")
+            )
+            # host-salt repartition before the parse (same rationale as
+            # fetch_stage: one mega-host must not serialize the wave);
+            # raw 64-bit hash, AQE-managed count (no parallelism ceiling)
+            n_parts = self.fetch_partition_count()
+            salt = F.xxhash64("host", "url_norm")
+            joined = (
+                joined.repartition(n_parts, salt)
+                if n_parts > 0
+                else joined.repartition(salt)
+            )
+        joined = (
+            joined.withColumn(
+                "outcome",
+                F.when(
+                    _fetchable,
+                    F.when(F.col("page_status").isNull(), "miss")
+                    .when(
+                        ~domain_allowed(
+                            F.col("scheme"), F.col("host"), self.allowed_keys
+                        ),
+                        "not_allowed",
+                    )
+                    .when(
+                        F.col("content_length") > cfg.effective_max_content_length,
+                        "too_large",
+                    )
+                    .otherwise("ok"),
+                ),
+            )
+            .withColumn(
+                "spans",
+                F.when(F.col("outcome") == "ok", parse_spans_udf("body")).otherwise(
+                    F.lit(None).cast(SPANS_TYPE)
+                ),
+            )
+            .withColumn("partition_id", F.spark_partition_id())
+        )
+        cookie_cols = ["set_cookie"] if "set_cookie" in joined.columns else []
+        obs_stage = Observation(f"w{wave}_stage")
+        stage_out = joined.select(
+            "linked_from",
+            "url",
+            "priority",
+            "url_norm",
+            "scheme",
+            "host",
+            "path",
+            "base_scheme",
+            "base_host",
+            "_edge_rank",
+            "unit_priority",
+            "robots_denied",
+            "eligible",
+            "edge_kind",
+            "seen_status",
+            "outcome",
+            F.col("page_status").cast("int").alias("page_status"),
+            "spans",
+            "partition_id",
+            *cookie_cols,
+        ).observe(
+            obs_stage,
             F.count(F.lit(1)).alias("n_edges"),
             F.count_if(F.col("edge_kind") == "seen").alias("n_cached"),
             F.count_if(_fresh1).alias("n_units"),
             F.count_if(_fresh1 & F.col("robots_denied")).alias("n_robots_denied"),
             F.count_if(_fresh1 & F.col("eligible")).alias("n_eligible"),
+            F.count_if(F.col("outcome") == "miss").alias("n_miss"),
+            F.count_if(F.col("outcome") == "not_allowed").alias("n_not_allowed"),
+            F.count_if(F.col("outcome") == "too_large").alias("n_too_large"),
+            F.count_if(F.col("outcome") == "ok").alias("n_ok"),
         )
-        with self._phase("stage-edges"):
-            store.write(edges_out, "edges", wave)
-        edges = store.read(spark, "edges", wave)
-        ec = obs_edges.get
+        with self._phase("stage-fused"):
+            store.write(stage_out, "wavestage", wave)
+        edges = store.read(spark, "wavestage", wave)
+        fetchpage = edges.filter(F.col("outcome").isNotNull())
+        ec = obs_stage.get
         m["n_cached"] = ec["n_cached"]
         m["n_units"] = ec["n_units"]
         m["n_robots_denied"] = ec["n_robots_denied"]
         m["n_deferred"] = ec["n_units"] - ec["n_robots_denied"] - ec["n_eligible"]
         # malformed = frontier rows minus all surviving edges
         m["n_malformed"] = n_frontier - ec["n_edges"]
-
-        # --- stage 2: fetch (A1/H4) + gates (C1/C2) + parse (D1) ----------
-        with self._phase("stage-fetch"):
-            self.fetch_stage(wave, edges, pages_slim)
-        fetchpage = store.read(spark, "fetchpage", wave)
+        m["n_miss"] = ec["n_miss"]
+        m["n_not_allowed"] = ec["n_not_allowed"]
+        m["n_too_large"] = ec["n_too_large"]
+        m["n_ok"] = ec["n_ok"]
+        m["n_fetched"] = (
+            ec["n_miss"] + ec["n_not_allowed"] + ec["n_too_large"] + ec["n_ok"]
+        )
 
         # response-cookie accumulation (brink.go:199-204): the reference
         # merges resp.Cookies() BEFORE the domain-allowed and content-length
@@ -718,18 +834,9 @@ class CrawlEngine:
             F.when(F.col("robots_denied"), "robots_denied").otherwise("deferred"),
             F.lit(-1),
         )
-        obs_log = Observation(f"w{wave}_fetchlog")
-        fetchlog_out = (
-            log_cols(fetchpage, F.col("outcome"), F.col("partition_id"))
-            .unionByName(edge_log)
-            .observe(
-                obs_log,
-                F.count_if(F.col("outcome") == "miss").alias("n_miss"),
-                F.count_if(F.col("outcome") == "not_allowed").alias("n_not_allowed"),
-                F.count_if(F.col("outcome") == "too_large").alias("n_too_large"),
-                F.count_if(F.col("outcome") == "ok").alias("n_ok"),
-            )
-        )
+        fetchlog_out = log_cols(
+            fetchpage, F.col("outcome"), F.col("partition_id")
+        ).unionByName(edge_log)
         ok = fetchpage.filter(F.col("outcome") == "ok")
 
         # --- handler rows (A4) ----------------------------------------------
@@ -744,6 +851,9 @@ class CrawlEngine:
         )
         results_others = (
             edges.filter((F.col("edge_kind") == "fresh") & (F.col("_edge_rank") > 1))
+            # rank>1 rows carry null fetch columns; take page_status from
+            # the unit's rank-1 (fetched) row via the join
+            .select("linked_from", "url_norm")
             .join(ok.select("url_norm", "page_status"), "url_norm", "inner")
             .select(
                 F.lit(wave).alias("wave"),
@@ -891,12 +1001,6 @@ class CrawlEngine:
                 for fut in futures:
                     fut.result()  # re-raise the first failure
 
-        lg = obs_log.get
-        m["n_miss"] = lg["n_miss"]
-        m["n_not_allowed"] = lg["n_not_allowed"]
-        m["n_too_large"] = lg["n_too_large"]
-        m["n_ok"] = lg["n_ok"]
-        m["n_fetched"] = lg["n_miss"] + lg["n_not_allowed"] + lg["n_too_large"] + lg["n_ok"]
         nx = obs_next.get
         self._pending_frontier_count = nx["n_next"]
         m["n_new_links"] = nx["n_new_links"]

@@ -560,6 +560,152 @@ SELECT lbl AS component, COUNT(*) AS n_nodes FROM l4 GROUP BY lbl
 """
 
 
+def q_volume_shipping(spark, sf):
+    """TPC-H Q7 shape: bilateral nation-pair trade volume by year. Two
+    nation dims joined under different roles (supplier vs customer) —
+    both broadcast; one wide fact shuffle on the grouped keys."""
+    l = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    n1 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sn_key"))
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                ).cast("bigint")
+            ).alias("volume_x10000"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_VOLUME_SHIPPING = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(v) AS BIGINT) AS volume_x10000, COUNT(*) AS n_items
+FROM (
+  SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS v
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    AND n2.n_name < n1.n_name) t
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_promo_effect(spark, sf):
+    """TPC-H Q14 shape, all-integer: monthly share of promo-part revenue
+    as permille ((promo * 1000) div total — no float division, bit-exact
+    both engines). Fact-side join broadcasts the part dim."""
+    l = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part").select("p_partkey", "p_type")
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("bigint")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(
+            F.year("l_shipdate").alias("l_year"),
+            F.month("l_shipdate").alias("l_month"),
+        )
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0)).alias(
+                "promo_rev_x10000"
+            ),
+            F.sum(rev).alias("total_rev_x10000"),
+        )
+        .withColumn(
+            "promo_permille",
+            F.expr("(promo_rev_x10000 * 1000) div total_rev_x10000"),
+        )
+    )
+
+
+SQL_PROMO_EFFECT = """
+SELECT l_year, l_month,
+       CAST(SUM(CASE WHEN p_type = 'PROMO' THEN v ELSE 0 END) AS BIGINT)
+         AS promo_rev_x10000,
+       CAST(SUM(v) AS BIGINT) AS total_rev_x10000,
+       CAST(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN v ELSE 0 END) AS BIGINT)
+            * 1000 AS BIGINT)
+         // CAST(SUM(v) AS BIGINT) AS promo_permille
+FROM (
+  SELECT p_type,
+         CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+         CAST(EXTRACT(month FROM l_shipdate) AS INT) AS l_month,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS v
+  FROM lineitem JOIN part ON l_partkey = p_partkey) t
+GROUP BY l_year, l_month
+"""
+
+
+def q_top_supplier(spark, sf):
+    """TPC-H Q15 shape: suppliers achieving the maximum period revenue —
+    the max is a one-row broadcast join (no window over the whole agg, no
+    collect), so ties survive and the plan scales."""
+    l = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    s = _t(spark, sf, "supplier")
+    rev = (
+        l.groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                ).cast("bigint")
+            ).alias("total_rev_x10000")
+        )
+    )
+    mx = rev.agg(F.max("total_rev_x10000").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_rev_x10000 == mx.mx)
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev_x10000")
+    )
+
+
+SQL_TOP_SUPPLIER = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+              AS BIGINT) AS total_rev_x10000
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_rev_x10000
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev_x10000 = (SELECT MAX(total_rev_x10000) FROM rev)
+"""
+
+
 RELATIONAL_QUERIES = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE_NATION),
@@ -576,4 +722,7 @@ RELATIONAL_QUERIES = {
     "politeness_topk": (q_politeness_topk, SQL_POLITENESS),
     "graph_pagerank": (q_graph_pagerank, SQL_PAGERANK),
     "graph_components": (q_graph_components, SQL_COMPONENTS),
+    "volume_shipping": (q_volume_shipping, SQL_VOLUME_SHIPPING),
+    "promo_effect": (q_promo_effect, SQL_PROMO_EFFECT),
+    "top_supplier": (q_top_supplier, SQL_TOP_SUPPLIER),
 }

@@ -118,7 +118,9 @@ def prepare() -> None:
         pages=pages_r, robots=spark.read.parquet(ROBOTS),
     )
     eng.run(resume=True, max_waves=2)
-    shutil.copytree(f"{edge_store}/edges/wave=1", f"{TEMPLATE}/edges_stage")
+    # the fused wavestage is a superset of the old edges table (same rows,
+    # plus fetch columns) — a valid fetch_stage input as-is
+    shutil.copytree(f"{edge_store}/wavestage/wave=1", f"{TEMPLATE}/edges_stage")
     n_edges = spark.read.parquet(f"{TEMPLATE}/edges_stage").count()
     shutil.rmtree(edge_store, ignore_errors=True)
     print(f"# edges_stage: {n_edges} edges", file=sys.stderr)
@@ -252,7 +254,11 @@ def run_fetch_level(cpus: int) -> dict:
     pages_slim = engine.pages.select(
         "url_norm", F.col("status").alias("page_status"), "content_length", "body"
     )
-    edges = spark.read.parquet(f"{TEMPLATE}/edges_stage")
+    # wavestage carries the fused fetch columns; fetch_stage re-derives
+    # them, so strip to the pure edge columns first
+    edges = spark.read.parquet(f"{TEMPLATE}/edges_stage").drop(
+        "outcome", "page_status", "spans", "partition_id", "set_cookie"
+    )
     # warmup: same stage shape on a small slice (worker pool + codegen)
     engine.fetch_stage(99, edges.limit(2000), pages_slim)
     t0 = time.time()
