@@ -48,6 +48,10 @@ HEADLINE = [
     "lm_score_bigram",
     "volume_shipping",
     "promo_effect",
+    "profit_by_nation",
+    "big_orders",
+    "dedup_chunks",
+    "vocab_stats",
 ]
 
 CRAWL_WAVES = 10

@@ -1464,6 +1464,221 @@ GROUP BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# chunk-level exact dedup (exact-substring style)
+
+CHUNK_WORDS = 4
+
+
+def q_dedup_chunks(spark, sf):
+    """Chunk-level exact dedup — the tractable form of exact-substring
+    dedup (Lee et al. 'Deduplicating Training Data Makes Language Models
+    Better' use suffix arrays; the distributed stand-in is fixed-width
+    non-overlapping word chunks): per doc, the share of 4-word chunks
+    whose exact text also appears in ANOTHER doc, as integer permille.
+    Scale shape: explode to chunk instances -> partial-agg groupBy chunk
+    (count distinct docs) -> join instances back on chunk. The joined
+    build side is ONE row per chunk, so AQE's skew-join split handles a
+    boilerplate mega-chunk (the probe side splits; the single build row
+    replicates), and no count-window-over-hot-key appears anywhere."""
+    d = _docs(spark, sf).withColumn("w", F.split("text", " "))
+    inst = (
+        d.filter(F.size("w") >= CHUNK_WORDS)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, (size(w) div {CHUNK_WORDS}) - 1),"
+                    f" i -> concat_ws(' ', slice(w, i * {CHUNK_WORDS} + 1,"
+                    f" {CHUNK_WORDS})))"
+                )
+            ).alias("chunk"),
+        )
+    )
+    cdf = inst.groupBy("chunk").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    return (
+        inst.join(cdf, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count_if(F.col("n_docs") >= 2).alias("n_shared_chunks"),
+            F.expr(
+                "(count_if(n_docs >= 2) * 1000) div count(1)"
+            ).cast("bigint").alias("shared_permille"),
+        )
+    )
+
+
+SQL_DEDUP_CHUNKS = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+ch AS (
+  SELECT doc_id, u.chunk
+  FROM (SELECT doc_id,
+               list_transform(range(0, len(w) // {CHUNK_WORDS}),
+                              i -> array_to_string(
+                                w[i * {CHUNK_WORDS} + 1 : i * {CHUNK_WORDS} + {CHUNK_WORDS}],
+                                ' ')) AS chunks
+        FROM w WHERE len(w) >= {CHUNK_WORDS}) t,
+  UNNEST(t.chunks) AS u(chunk)),
+cdf AS (SELECT chunk, COUNT(DISTINCT doc_id) AS n_docs FROM ch GROUP BY chunk)
+SELECT doc_id, COUNT(*) AS n_chunks,
+       COUNT(*) FILTER (n_docs >= 2) AS n_shared_chunks,
+       (COUNT(*) FILTER (n_docs >= 2) * 1000) // COUNT(*) AS shared_permille
+FROM ch JOIN cdf USING (chunk)
+GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# per-source quality rollup (RefinedWeb-style domain aggregation)
+
+
+def q_source_rollup(spark, sf):
+    """Per-(source, lang) corpus health rollup — the RefinedWeb/C4-style
+    'aggregate quality by origin' view that decides which domains/dumps
+    to keep. Per-doc stats (word count, type-token ratio) are row-local
+    array HOFs — no shuffle — then ONE partial-agg groupBy on the tiny
+    (source, lang) key space. All-integer outputs (floor div) so both
+    engines hash bit-exact."""
+    d = _docs(spark, sf).withColumn("w", F.split("text", " "))
+    per_doc = d.select(
+        "source",
+        "lang",
+        F.size("w").alias("n_words"),
+        F.expr("(size(array_distinct(w)) * 1000) div size(w)").alias(
+            "ttr_permille"
+        ),
+    )
+    return per_doc.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_words").cast("bigint")).alias("total_words"),
+        F.expr("sum(n_words) div count(1)").cast("bigint").alias("avg_words"),
+        F.expr("(count_if(n_words < 40) * 1000) div count(1)")
+        .cast("bigint")
+        .alias("short_permille"),
+        F.expr("sum(ttr_permille) div count(1)")
+        .cast("bigint")
+        .alias("avg_ttr_permille"),
+    )
+
+
+SQL_SOURCE_ROLLUP = """
+WITH per_doc AS (
+  SELECT source, lang, len(w) AS n_words,
+         (len(list_distinct(w)) * 1000) // len(w) AS ttr_permille
+  FROM (SELECT source, lang, string_split(text, ' ') AS w FROM documents) t)
+SELECT source, lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS total_words,
+       CAST(SUM(n_words) // COUNT(*) AS BIGINT) AS avg_words,
+       (COUNT(*) FILTER (n_words < 40) * 1000) // COUNT(*) AS short_permille,
+       CAST(SUM(ttr_permille) // COUNT(*) AS BIGINT) AS avg_ttr_permille
+FROM per_doc
+GROUP BY source, lang
+"""
+
+
+# --------------------------------------------------------------------------
+# corpus vocabulary statistics
+
+
+def q_vocab_stats(spark, sf):
+    """Per-language vocabulary profile: distinct word types, hapax
+    legomena (frequency-1 words — the Zipf tail that dominates vocab
+    size), total tokens, and corpus type-token ratio as permille. Scale
+    shape: explode -> two-level partial agg ((lang, word) counts, then
+    lang) — the classic word-count topology; the second agg's key space
+    is vocab-bounded."""
+    d = _docs(spark, sf).withColumn("w", F.split("text", " "))
+    wc = (
+        d.select("lang", F.explode("w").alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return wc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.count_if(F.col("cnt") == 1).alias("n_hapax"),
+        F.sum("cnt").alias("n_tokens"),
+        F.expr("(count(1) * 1000) div sum(cnt)").cast("bigint").alias(
+            "ttr_permille"
+        ),
+    )
+
+
+SQL_VOCAB_STATS = """
+WITH wc AS (
+  SELECT lang, u.word, COUNT(*) AS cnt
+  FROM (SELECT lang, string_split(text, ' ') AS w FROM documents) t,
+       UNNEST(t.w) AS u(word)
+  GROUP BY lang, u.word)
+SELECT lang, COUNT(*) AS n_types,
+       COUNT(*) FILTER (cnt = 1) AS n_hapax,
+       CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       CAST((COUNT(*) * 1000) // CAST(SUM(cnt) AS BIGINT) AS BIGINT)
+         AS ttr_permille
+FROM wc GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# PII detection / redaction
+
+# Patterns restricted to the syntax subset Java regex and RE2 share
+# (character classes, bounded repeats, \\b anchors — no lookaround).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_LONGNUM = r"\b\d{9,}\b"
+
+
+def pii_columns(text_col):
+    """PII expression bundle over any string column: match counts per
+    class + the redacted length (every match replaced by a fixed token).
+    All native regexp functions — JVM-side, codegen'd, no UDF. The
+    driver's synthetic corpus contains no PII (counts legitimately 0
+    there); tests/test_corpus_ops.py exercises real positives on a
+    fixture."""
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text_col, PII_EMAIL, "<PII>"),
+            PII_IPV4,
+            "<PII>",
+        ),
+        PII_LONGNUM,
+        "<PII>",
+    )
+    return [
+        F.regexp_count(text_col, F.lit(PII_EMAIL)).cast("bigint").alias("n_email"),
+        F.regexp_count(text_col, F.lit(PII_IPV4)).cast("bigint").alias("n_ipv4"),
+        F.regexp_count(text_col, F.lit(PII_LONGNUM))
+        .cast("bigint")
+        .alias("n_longnum"),
+        F.length(red).cast("bigint").alias("redacted_len"),
+    ]
+
+
+def q_pii_scrub(spark, sf):
+    """Per-doc PII scan + redacted length — the privacy-filter stage of a
+    training-data pipeline (email / IPv4 / long-digit-run classes).
+    Shuffle-free: a pure projection over native regexp_count /
+    regexp_replace, so it pipelines inside whole-stage codegen with
+    whatever scan precedes it."""
+    return _docs(spark, sf).select("doc_id", *pii_columns(F.col("text")))
+
+
+SQL_PII_SCRUB = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{PII_EMAIL}')) AS n_email,
+       len(regexp_extract_all(text, '{PII_IPV4}')) AS n_ipv4,
+       len(regexp_extract_all(text, '{PII_LONGNUM}')) AS n_longnum,
+       length(regexp_replace(regexp_replace(regexp_replace(text,
+         '{PII_EMAIL}', '<PII>', 'g'),
+         '{PII_IPV4}', '<PII>', 'g'),
+         '{PII_LONGNUM}', '<PII>', 'g')) AS redacted_len
+FROM documents
+"""
+
+
 PIPELINE_QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
@@ -1491,4 +1706,8 @@ PIPELINE_QUERIES = {
     "repetition_stats": (q_repetition_stats, SQL_REPETITION),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "lm_score_bigram": (q_lm_score_bigram, SQL_LM_SCORE),
+    "dedup_chunks": (q_dedup_chunks, SQL_DEDUP_CHUNKS),
+    "source_rollup": (q_source_rollup, SQL_SOURCE_ROLLUP),
+    "vocab_stats": (q_vocab_stats, SQL_VOCAB_STATS),
+    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
 }

@@ -706,6 +706,143 @@ WHERE total_rev_x10000 = (SELECT MAX(total_rev_x10000) FROM rev)
 """
 
 
+def q_profit_by_nation(spark, sf):
+    """TPC-H Q9 shape: product-line profit by supplier nation and year.
+    The testdata has no partsupp table, so supply cost is proxied as
+    p_retailprice * l_quantity / 10 — same join/agg topology as Q9
+    (LIKE-filtered part dim, fact joined to part+supplier+nation,
+    revenue minus cost grouped by nation/year). Each money term is
+    rounded to a scaled integer separately so BIGINT sums are exact in
+    both engines. Part/supplier/nation all broadcast; one fact shuffle
+    on the grouped keys."""
+    l = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part").filter(F.col("p_name").contains("red")).select(
+        "p_partkey", "p_retailprice"
+    )
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf, "nation").select("n_nationkey", "n_name")
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("bigint")
+    cost = F.round(F.col("p_retailprice") * F.col("l_quantity") * 1000).cast(
+        "bigint"
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("o_year"))
+        .agg(
+            F.sum(rev - cost).alias("profit_x10000"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_PROFIT_BY_NATION = """
+SELECT nation, o_year,
+       CAST(SUM(rev - cost) AS BIGINT) AS profit_x10000,
+       COUNT(*) AS n_items
+FROM (
+  SELECT n_name AS nation,
+         CAST(EXTRACT(year FROM l_shipdate) AS INT) AS o_year,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS rev,
+         CAST(ROUND(p_retailprice * l_quantity * 1000) AS BIGINT) AS cost
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%red%') t
+GROUP BY nation, o_year
+"""
+
+
+def q_big_orders(spark, sf):
+    """TPC-H Q18 shape: large-volume orders — aggregate the fact table to
+    order grain, HAVING-filter on the summed quantity, then join the
+    survivors back to orders and the broadcast customer dim. The having
+    filter runs on the post-agg (tiny) side, so the second join's left
+    input is already reduced ~100x before it shuffles."""
+    l = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer").select("c_custkey", "c_name")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(_x100(F.col("l_quantity"))).alias("sum_qty_x100"))
+        .filter(F.col("sum_qty_x100") > 25000)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "o_orderkey",
+            "c_name",
+            _x100(F.col("o_totalprice")).alias("o_totalprice_x100"),
+            "sum_qty_x100",
+        )
+    )
+
+
+SQL_BIG_ORDERS = """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT)
+           AS sum_qty_x100
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) > 25000)
+SELECT o_orderkey, c_name,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS o_totalprice_x100,
+       sum_qty_x100
+FROM big
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_discount_revenue(spark, sf):
+    """TPC-H Q19 shape: disjunction-of-conjunctions over fact x dim.
+    The part predicates can't prune the fact scan, but the quantity
+    bounds push down to parquet (l_quantity <= 40 covers both arms) and
+    part broadcasts; the OR evaluates post-join inside codegen. One-row
+    global aggregate (exact scaled-integer revenue)."""
+    l = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    arm1 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    )
+    arm2 = (
+        (F.col("p_brand") == "Brand#17")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 40)
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(arm1 | arm2)
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                ).cast("bigint")
+            ).alias("revenue_x10000"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_DISCOUNT_REVENUE = """
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+            AS BIGINT) AS revenue_x10000,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#2'  AND p_size BETWEEN 1  AND 15
+       AND l_quantity BETWEEN 1  AND 20)
+   OR (p_brand = 'Brand#17' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 40)
+"""
+
+
 RELATIONAL_QUERIES = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE_NATION),
@@ -725,4 +862,7 @@ RELATIONAL_QUERIES = {
     "volume_shipping": (q_volume_shipping, SQL_VOLUME_SHIPPING),
     "promo_effect": (q_promo_effect, SQL_PROMO_EFFECT),
     "top_supplier": (q_top_supplier, SQL_TOP_SUPPLIER),
+    "profit_by_nation": (q_profit_by_nation, SQL_PROFIT_BY_NATION),
+    "big_orders": (q_big_orders, SQL_BIG_ORDERS),
+    "discount_revenue": (q_discount_revenue, SQL_DISCOUNT_REVENUE),
 }

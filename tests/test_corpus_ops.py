@@ -1,0 +1,138 @@
+"""Unit tests for the round-3 corpus operators on hand-built fixtures.
+
+The driver gate (tools/check_queries.py) proves engine/oracle parity on
+the synthetic documents table; these tests pin the SEMANTICS on inputs
+where the expected answer is computable by hand — in particular PII
+positives, which the synthetic corpus legitimately lacks.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_pii_columns_finds_each_class(spark):
+    from brink_spark.queries.pipeline import pii_columns
+
+    rows = [
+        (1, "contact me at alice.smith+x@example.co.uk for details"),
+        (2, "server at 10.0.255.3 responded"),
+        (3, "card 4111111111111111 on file"),
+        (4, "nothing sensitive here"),
+        (5, "a@b.io and 1.2.3.4 and 123456789"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r
+        for r in df.select("doc_id", *pii_columns(F.col("text"))).collect()
+    }
+    assert (got[1]["n_email"], got[1]["n_ipv4"], got[1]["n_longnum"]) == (1, 0, 0)
+    assert (got[2]["n_email"], got[2]["n_ipv4"], got[2]["n_longnum"]) == (0, 1, 0)
+    assert (got[3]["n_email"], got[3]["n_ipv4"], got[3]["n_longnum"]) == (0, 0, 1)
+    assert (got[4]["n_email"], got[4]["n_ipv4"], got[4]["n_longnum"]) == (0, 0, 0)
+    assert (got[5]["n_email"], got[5]["n_ipv4"], got[5]["n_longnum"]) == (1, 1, 1)
+    # redaction shrinks exactly the matched spans to the 5-char token
+    assert got[4]["redacted_len"] == len(rows[3][1])
+    assert got[2]["redacted_len"] == len(rows[1][1]) - len("10.0.255.3") + 5
+
+
+def test_pii_ipv4_not_matched_inside_longer_number(spark):
+    from brink_spark.queries.pipeline import pii_columns
+
+    df = spark.createDataFrame([(1, "version 1.2.3.4567 build")], ["doc_id", "text"])
+    r = df.select(*pii_columns(F.col("text"))).collect()[0]
+    # \b\d{1,3}\. arms: 4567 breaks the final octet bound -> no IPv4 hit
+    assert r["n_ipv4"] == 0
+
+
+def _chunk_df(spark):
+    # doc 1 and 2 share chunk "a b c d"; doc 3 is unique; doc 4 too short
+    rows = [
+        (1, "a b c d e f g h"),          # chunks: "a b c d", "e f g h"
+        (2, "a b c d x y z w"),          # chunks: "a b c d", "x y z w"
+        (3, "p q r s t u v m"),          # unique chunks
+        (4, "a b c"),                    # < 4 words -> no chunks, absent
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_dedup_chunks_semantics(monkeypatch, spark):
+    import brink_spark.queries.pipeline as pl
+
+    monkeypatch.setattr(pl, "_docs", lambda s, sf: _chunk_df(s))
+    got = {r["doc_id"]: r for r in pl.q_dedup_chunks(spark, "ignored").collect()}
+    assert set(got) == {1, 2, 3}  # doc 4 has no chunks
+    assert (got[1]["n_chunks"], got[1]["n_shared_chunks"]) == (2, 1)
+    assert got[1]["shared_permille"] == 500
+    assert (got[2]["n_chunks"], got[2]["n_shared_chunks"]) == (2, 1)
+    assert (got[3]["n_chunks"], got[3]["n_shared_chunks"]) == (2, 0)
+    assert got[3]["shared_permille"] == 0
+
+
+def test_dedup_chunks_within_doc_repeat_is_not_shared(monkeypatch, spark):
+    import brink_spark.queries.pipeline as pl
+
+    # the same chunk twice in ONE doc: n_docs=1 -> not "shared"
+    df = spark.createDataFrame([(1, "a b c d a b c d")], ["doc_id", "text"])
+    monkeypatch.setattr(pl, "_docs", lambda s, sf: df)
+    r = pl.q_dedup_chunks(spark, "ignored").collect()[0]
+    assert (r["n_chunks"], r["n_shared_chunks"]) == (2, 0)
+
+
+def test_source_rollup_hand_computed(monkeypatch, spark):
+    import brink_spark.queries.pipeline as pl
+
+    rows = [
+        (1, "a b a b", "en", "web", 7),      # 4 words, 2 distinct, ttr 500
+        (2, "a b c d", "en", "web", 7),      # 4 words, 4 distinct, ttr 1000
+        (3, "x", "en", "books", 1),          # 1 word, short
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    monkeypatch.setattr(pl, "_docs", lambda s, sf: df)
+    got = {
+        (r["source"], r["lang"]): r
+        for r in pl.q_source_rollup(spark, "ignored").collect()
+    }
+    web = got[("web", "en")]
+    assert (web["n_docs"], web["total_words"], web["avg_words"]) == (2, 8, 4)
+    assert web["short_permille"] == 1000  # both docs < 40 words
+    assert web["avg_ttr_permille"] == 750
+    books = got[("books", "en")]
+    assert (books["n_docs"], books["avg_ttr_permille"]) == (1, 1000)
+
+
+def test_vocab_stats_hand_computed(monkeypatch, spark):
+    import brink_spark.queries.pipeline as pl
+
+    rows = [
+        (1, "a a b", "en", "w", 5),
+        (2, "b c", "en", "w", 3),
+        (3, "z", "fr", "w", 1),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    monkeypatch.setattr(pl, "_docs", lambda s, sf: df)
+    got = {r["lang"]: r for r in pl.q_vocab_stats(spark, "ignored").collect()}
+    en = got["en"]
+    # counts: a->2, b->2, c->1  => 3 types, 1 hapax, 5 tokens, ttr 600
+    assert (en["n_types"], en["n_hapax"], en["n_tokens"]) == (3, 1, 5)
+    assert en["ttr_permille"] == 600
+    assert (got["fr"]["n_types"], got["fr"]["n_hapax"]) == (1, 1)
+
+
+def test_new_relational_shapes_plan_quality(spark):
+    """Q9/Q18/Q19 shapes: dims broadcast, fact aggregates are partial."""
+    from brink_spark.queries.relational import (
+        q_big_orders,
+        q_discount_revenue,
+        q_profit_by_nation,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    for q in (q_profit_by_nation, q_discount_revenue):
+        plan = q(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+    # Q18's order-grain agg runs partial (map-side) before the exchange
+    plan = (
+        q_big_orders(spark, sf)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partial_sum" in plan.lower() or "HashAggregate" in plan
