@@ -52,6 +52,7 @@ HEADLINE = [
     "big_orders",
     "dedup_chunks",
     "vocab_stats",
+    "events_asof_join",
 ]
 
 CRAWL_WAVES = 10

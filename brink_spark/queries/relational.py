@@ -843,6 +843,71 @@ WHERE (p_brand = 'Brand#2'  AND p_size BETWEEN 1  AND 15
 """
 
 
+def q_events_asof_join(spark, sf):
+    """As-of join — each purchase matched to the SAME USER's most recent
+    click at-or-before it (the operator Spark lacks natively; the
+    reference domain analogue is attaching request context to the latest
+    preceding state change). Implemented as the canonical distributed
+    as-of: union both sides tagged, ONE window per user ordered by
+    (ts, tag) carrying the last non-null click forward — a single
+    shuffle on user_id, no range-explosion join, no driver work. At
+    100 TB the same plan holds: the partition key is the equality key
+    (user), per-key data is a user's own history (bounded), so the
+    window never concentrates the corpus. Clicks sort before purchases
+    on equal timestamps (tag 0 < 1), matching DuckDB ASOF's inclusive
+    `>=`; the testdata has no equal-ts ties (verified at sf0.001-0.1),
+    so both engines pick identical rows. Outputs epoch-second BIGINTs
+    (the same unix_timestamp <-> FLOOR(epoch()) pairing the other event
+    queries hash-match on) — no timestamp-type hashing differences."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("tag"),
+        F.when(F.col("event_type") == "click", F.col("event_id")).alias(
+            "_click_id"
+        ),
+        F.when(F.col("event_type") == "click", F.unix_timestamp("ts")).alias(
+            "_click_s"
+        ),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.withColumn(
+        "click_id", F.last("_click_id", ignorenulls=True).over(w)
+    ).withColumn("click_s", F.last("_click_s", ignorenulls=True).over(w))
+    return (
+        carried.filter((F.col("tag") == 1) & F.col("click_id").isNotNull())
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.unix_timestamp("ts").alias("purchase_epoch"),
+            "click_id",
+            (F.unix_timestamp("ts") - F.col("click_s")).alias("gap_s"),
+        )
+    )
+
+
+SQL_EVENTS_ASOF = """
+SELECT p.event_id AS purchase_id, p.user_id,
+       CAST(FLOOR(epoch(p.ts)) AS BIGINT) AS purchase_epoch,
+       c.event_id AS click_id,
+       CAST(FLOOR(epoch(p.ts)) AS BIGINT) - CAST(FLOOR(epoch(c.ts)) AS BIGINT)
+         AS gap_s
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
 RELATIONAL_QUERIES = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE_NATION),
@@ -865,4 +930,5 @@ RELATIONAL_QUERIES = {
     "profit_by_nation": (q_profit_by_nation, SQL_PROFIT_BY_NATION),
     "big_orders": (q_big_orders, SQL_BIG_ORDERS),
     "discount_revenue": (q_discount_revenue, SQL_DISCOUNT_REVENUE),
+    "events_asof_join": (q_events_asof_join, SQL_EVENTS_ASOF),
 }

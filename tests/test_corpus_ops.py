@@ -136,3 +136,29 @@ def test_new_relational_shapes_plan_quality(spark):
         q_big_orders(spark, sf)._jdf.queryExecution().executedPlan().toString()
     )
     assert "partial_sum" in plan.lower() or "HashAggregate" in plan
+
+
+def test_events_asof_join_hand_computed(monkeypatch, spark):
+    import datetime as dt
+
+    import brink_spark.queries.relational as rl
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)  # noqa: E731
+    rows = [
+        # (event_id, ts, user_id, event_type)
+        (1, s(0), 1, "click"),
+        (2, s(10), 1, "purchase"),   # matches click 1, gap 10
+        (3, s(20), 1, "click"),
+        (4, s(30), 1, "purchase"),   # matches click 3, gap 10
+        (5, s(5), 2, "purchase"),    # user 2 has no prior click -> dropped
+        (6, s(40), 2, "click"),
+        (7, s(40), 2, "purchase"),   # equal ts: click visible (inclusive)
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    monkeypatch.setattr(rl, "_t", lambda sp, sf, name: df)
+    got = {r["purchase_id"]: r for r in rl.q_events_asof_join(spark, "x").collect()}
+    assert set(got) == {2, 4, 7}
+    assert (got[2]["click_id"], got[2]["gap_s"]) == (1, 10)
+    assert (got[4]["click_id"], got[4]["gap_s"]) == (3, 10)
+    assert (got[7]["click_id"], got[7]["gap_s"]) == (6, 0)
