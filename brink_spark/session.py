@@ -32,11 +32,17 @@ def get_spark(
     shuffle_partitions: int = 32,
     extra: dict[str, str] | None = None,
 ) -> SparkSession:
+    # master="inherit": do NOT set a master — the session takes whatever
+    # spark-submit / the surrounding deployment provided (builder.master
+    # would override `spark-submit --master`, silently turning a cluster
+    # run into a local one). Anything else (or None -> local[$CPUS]) is
+    # the in-process path used by tests/bench.
     master = master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    builder = SparkSession.builder.appName(app_name)
+    if master != "inherit":
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
