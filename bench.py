@@ -53,6 +53,7 @@ HEADLINE = [
     "dedup_chunks",
     "vocab_stats",
     "events_asof_join",
+    "events_range_join",
 ]
 
 CRAWL_WAVES = 10

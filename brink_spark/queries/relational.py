@@ -908,6 +908,81 @@ ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """
 
 
+RANGE_W = 3600  # range-join window: [purchase - 1h, purchase)
+
+
+def q_events_range_join(spark, sf):
+    """Range join — per purchase, the count/value of the SAME USER's
+    clicks in the hour before it. Spark has no native range join, and
+    the naive theta-join (t BETWEEN x AND y) degenerates to
+    per-user-cartesian + filter. The scale form used here is the
+    canonical BUCKETED range join: clicks land in (user, hour-bucket)
+    cells once; each purchase probes exactly its own bucket and the
+    previous one (window width == bucket width, so 2 probes cover the
+    range), then the exact [pts-3600, pts) filter prunes. The join is a
+    plain equi-join on (user_id, bucket) — shuffle-partitionable, AQE-
+    skew-splittable, no inequality condition in the join itself —
+    touching ~2/W of each user's history instead of all of it. Oracle:
+    DuckDB evaluates the same semantics as a direct inequality join."""
+    ev = _t(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("cts"),
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    clicks = clicks.withColumn("bucket", F.expr(f"cts div {RANGE_W}"))
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_timestamp("ts").alias("pts"),
+    )
+    probes = purch.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.expr(f"pts div {RANGE_W}"), F.expr(f"pts div {RANGE_W} - 1")
+            )
+        ),
+    )
+    matched = probes.join(clicks, ["user_id", "bucket"]).filter(
+        (F.col("cts") >= F.col("pts") - RANGE_W) & (F.col("cts") < F.col("pts"))
+    )
+    counts = matched.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n_recent_clicks"),
+        F.sum("v").alias("click_value_x100"),
+    )
+    return purch.join(counts, "purchase_id", "left").select(
+        "purchase_id",
+        "user_id",
+        F.col("pts").alias("purchase_epoch"),
+        F.coalesce("n_recent_clicks", F.lit(0)).cast("bigint").alias(
+            "n_recent_clicks"
+        ),
+        F.coalesce("click_value_x100", F.lit(0)).cast("bigint").alias(
+            "click_value_x100"
+        ),
+    )
+
+
+SQL_EVENTS_RANGE = f"""
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS pts
+  FROM events WHERE event_type = 'purchase'),
+c AS (
+  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS cts,
+         CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM events WHERE event_type = 'click')
+SELECT p.purchase_id, p.user_id, p.pts AS purchase_epoch,
+       COUNT(c.cts) AS n_recent_clicks,
+       COALESCE(CAST(SUM(c.v) AS BIGINT), 0) AS click_value_x100
+FROM p LEFT JOIN c
+  ON c.user_id = p.user_id
+ AND c.cts >= p.pts - {RANGE_W} AND c.cts < p.pts
+GROUP BY p.purchase_id, p.user_id, p.pts
+"""
+
+
 RELATIONAL_QUERIES = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE_NATION),
@@ -931,4 +1006,5 @@ RELATIONAL_QUERIES = {
     "big_orders": (q_big_orders, SQL_BIG_ORDERS),
     "discount_revenue": (q_discount_revenue, SQL_DISCOUNT_REVENUE),
     "events_asof_join": (q_events_asof_join, SQL_EVENTS_ASOF),
+    "events_range_join": (q_events_range_join, SQL_EVENTS_RANGE),
 }

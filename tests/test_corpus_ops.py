@@ -162,3 +162,31 @@ def test_events_asof_join_hand_computed(monkeypatch, spark):
     assert (got[2]["click_id"], got[2]["gap_s"]) == (1, 10)
     assert (got[4]["click_id"], got[4]["gap_s"]) == (3, 10)
     assert (got[7]["click_id"], got[7]["gap_s"]) == (6, 0)
+
+
+def test_events_range_join_boundaries(monkeypatch, spark):
+    import datetime as dt
+
+    import brink_spark.queries.relational as rl
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)  # 12:00 exactly (bucket boundary)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)  # noqa: E731
+    rows = [
+        # purchase at 12:00:00 -> window [11:00:00, 12:00:00)
+        (1, s(0), 1, "purchase", 0.0),
+        (2, s(-3600), 1, "click", 1.0),   # exactly pts-3600: INCLUDED
+        (3, s(-3601), 1, "click", 2.0),   # one sec earlier: excluded
+        (4, s(0), 1, "click", 4.0),       # equal ts: excluded (strict <)
+        (5, s(-1), 1, "click", 8.0),      # included (previous bucket probe)
+        (6, s(-1800), 2, "click", 16.0),  # other user: excluded
+        (7, s(10), 2, "purchase", 0.0),   # user 2: one click 1810s before
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    monkeypatch.setattr(rl, "_t", lambda sp, sf, name: df)
+    got = {r["purchase_id"]: r for r in rl.q_events_range_join(spark, "x").collect()}
+    assert got[1]["n_recent_clicks"] == 2          # events 2 and 5
+    assert got[1]["click_value_x100"] == 900       # 1.0*100 + 8.0*100
+    assert got[7]["n_recent_clicks"] == 1          # event 6
+    assert got[7]["click_value_x100"] == 1600
