@@ -74,6 +74,33 @@ def linkgraph_from_store(spark, store_dir: str, n_waves: int) -> DataFrame:
     )
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    buckets: int = 8,
+    key: str = "doc_id",
+    path: str | None = None,
+) -> None:
+    """Write a DataFrame as a BUCKETED + sorted table (hash-bucketed on
+    ``key``): two tables bucketed the same way join WITHOUT a shuffle —
+    Catalyst sees the co-located layout and drops both exchanges (and,
+    with sortBy, both sorts) from the sort-merge join. This is the
+    at-rest co-location strategy for the corpus at 100 TB: dedup /
+    similarity / enrichment jobs that repeatedly join on doc_id pay the
+    partitioning ONCE at write time instead of per query. ``path`` makes
+    the table external (data at the given location; metadata in the
+    session catalog)."""
+    w = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+    )
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table_name)
+
+
 def corpus_to_dir(spark, store_dir: str, n_waves: int, out_dir: str) -> int:
     """Materialize the corpus as ``{out_dir}/documents.parquet`` — the layout
     every pipeline query reads. Returns the document count."""
