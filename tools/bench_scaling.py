@@ -160,8 +160,14 @@ def run_level(cpus: int) -> dict:
     }
     if os.environ.get("BRINK_AQE") == "0":
         extra["spark.sql.adaptive.enabled"] = "false"
+    # under spark-submit (BRINK_SUBMIT launcher mode) the master was set
+    # by the submit command — "inherit" keeps the session factory from
+    # overriding it (session.py)
+    master = (
+        "inherit" if os.environ.get("BRINK_UNDER_SUBMIT") else f"local[{cpus}]"
+    )
     spark = get_spark(
-        f"local[{cpus}]", app_name=f"scaling_{cpus}",
+        master, app_name=f"scaling_{cpus}",
         shuffle_partitions=int(os.environ.get("BRINK_SHUFFLE", "64")),
         extra=extra,
     )
@@ -294,14 +300,43 @@ def main() -> None:
     # the sandbox host shows heavy, bursty CPU steal (~35% of historical
     # user time) — take the best of REPEATS per level so the measurement
     # reflects the engine, not a noisy neighbor
-    REPEATS = 3
+    REPEATS = int(os.environ.get("BRINK_REPEATS", "3"))
+    # BRINK_SUBMIT=1: launch each level through spark-submit --py-files
+    # (the north rule's deploy shape) instead of a plain python subprocess.
+    # Same job, same timing protocol — the level's parallelism comes from
+    # spark-submit's --master and the session factory inherits it.
+    submit_prefix: list[str] = []
+    if os.environ.get("BRINK_SUBMIT") == "1":
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        import make_pyfiles
+
+        zip_path = make_pyfiles.build(f"{WORK}/brink_spark.zip")
+        submit_cmd = shutil.which("spark-submit")
+        if submit_cmd is None:
+            raise SystemExit("BRINK_SUBMIT=1 but no spark-submit on PATH")
+        print(f"# levels run via spark-submit --py-files {zip_path}", file=sys.stderr)
     results = {}
     for cpus in LEVELS:
+        if os.environ.get("BRINK_SUBMIT") == "1":
+            submit_prefix = [
+                submit_cmd,
+                "--master",
+                f"local[{cpus}]",
+                "--py-files",
+                zip_path,
+            ]
+        if submit_prefix:
+            cmd = submit_prefix + [os.path.abspath(__file__), "run", str(cpus)]
+        else:
+            cmd = [sys.executable, os.path.abspath(__file__), "run", str(cpus)]
         best = None
         for attempt in range(REPEATS):
+            env = dict(os.environ)
+            if submit_prefix:
+                env["BRINK_UNDER_SUBMIT"] = "1"
             proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "run", str(cpus)],
-                capture_output=True, text=True,
+                cmd,
+                capture_output=True, text=True, env=env,
                 cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             )
             line = [l for l in proc.stdout.splitlines() if l.startswith("{")]
