@@ -40,7 +40,9 @@ CONFIG = f"{WORK}/config.json"
 # N and 4N. 4→16 rather than 8→32 because the box's 32 "cpus" include SMT
 # siblings: a pure-CPU spin test yields only ~3.3x from 8→32 procs (hard
 # ceiling 0.82 efficiency) but ~3.6-3.9x from 4→16.
-LEVELS = (4, 16)
+LEVELS = tuple(
+    int(x) for x in os.environ.get("BRINK_LEVELS", "4,16").split(",")
+)
 VISITED_FRACTION = 4  # 1-in-4 pages prefilled as already-visited
 
 
@@ -363,7 +365,10 @@ def main() -> None:
     }
     print(json.dumps(report))
     os.makedirs("BENCH", exist_ok=True)
-    with open(f"BENCH/scaling_{SCALE}.json", "w") as fh:
+    # BRINK_OUT overrides the record path — exploratory/noisy-window runs
+    # should not clobber the committed quiet-window evidence
+    out_path = os.environ.get("BRINK_OUT", f"BENCH/scaling_{SCALE}.json")
+    with open(out_path, "w") as fh:
         json.dump(report, fh, indent=2)
 
 
