@@ -190,3 +190,20 @@ def test_events_range_join_boundaries(monkeypatch, spark):
     assert got[1]["click_value_x100"] == 900       # 1.0*100 + 8.0*100
     assert got[7]["n_recent_clicks"] == 1          # event 6
     assert got[7]["click_value_x100"] == 1600
+
+
+def test_dedup_chunks_boilerplate_hot_key(monkeypatch, spark):
+    """One chunk shared by EVERY doc (the boilerplate mega-key): the
+    chunk-df join build side stays one row per chunk, so the hot key
+    cannot pile the corpus into one partition, and the per-doc shares
+    stay exact."""
+    import brink_spark.queries.pipeline as pl
+
+    rows = [(i, f"x y z w u{i} v{i} s{i} t{i}") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    monkeypatch.setattr(pl, "_docs", lambda s, sf: df)
+    got = pl.q_dedup_chunks(spark, "ignored").collect()
+    assert len(got) == 2000
+    assert all(r["n_chunks"] == 2 for r in got)
+    assert all(r["n_shared_chunks"] == 1 for r in got)  # the boilerplate
+    assert all(r["shared_permille"] == 500 for r in got)
