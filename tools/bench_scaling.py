@@ -247,8 +247,11 @@ def run_fetch_level(cpus: int) -> dict:
     shutil.rmtree(store_dir, ignore_errors=True)
     os.makedirs(store_dir)
 
+    master = (
+        "inherit" if os.environ.get("BRINK_UNDER_SUBMIT") else f"local[{cpus}]"
+    )
     spark = get_spark(
-        f"local[{cpus}]", app_name=f"fetch_scaling_{cpus}", shuffle_partitions=64,
+        master, app_name=f"fetch_scaling_{cpus}", shuffle_partitions=64,
         extra={
             "spark.ui.showConsoleProgress": "false",
             "spark.local.dir": f"{WORK}/spark-local-f{cpus}",
@@ -324,6 +327,11 @@ def main() -> None:
                 submit_cmd,
                 "--master",
                 f"local[{cpus}]",
+                # builder-set driver memory is ignored once spark-submit
+                # has launched the JVM (1g default) — pass it here so the
+                # submit path runs with the same heap as the in-process one
+                "--driver-memory",
+                os.environ.get("SPARK_DRIVER_MEM", "8g"),
                 "--py-files",
                 zip_path,
             ]
