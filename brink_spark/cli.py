@@ -67,13 +67,16 @@ def main(argv=None) -> int:
 
     orig = engine._run_wave
 
-    def guarded(wave, manifest, pages_slim):
+    def guarded(wave, manifest, pages_slim, defer=False):
         if stop["flag"]:
             return None
-        m = orig(wave, manifest, pages_slim)
-        if m is not None:
-            print(json.dumps(m), file=log, flush=True)
-        return m
+        out = orig(wave, manifest, pages_slim, defer=defer)
+        if out is None:
+            return None
+        # defer mode (the pipelined run loop) returns (metrics, finish)
+        m = out[0] if defer else out
+        print(json.dumps(m), file=log, flush=True)
+        return out
 
     engine._run_wave = guarded
     summary = engine.run(

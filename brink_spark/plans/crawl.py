@@ -305,15 +305,53 @@ class CrawlEngine:
         else:
             raise ValueError("synthetic fetch_mode requires a pages table")
 
+        # cross-wave pipelining: wave N's deferred writes (fetchlog,
+        # results, lineage, metrics) + manifest commit drain on a driver
+        # thread WHILE wave N+1's stage job runs. Join points: (a) after
+        # each _run_wave returns (one finalize in flight at a time, and
+        # errors surface before the next commit), (b) before a rank
+        # boundary (its _compute_ranks reads the previous wave's deferred
+        # results table), (c) before compaction (rewrites manifest-tracked
+        # state). In-memory manifest state advances before the commit
+        # thread starts so wave N+1 sees last_wave=N; the DISK commit
+        # still happens strictly after every wave-N write — crash-resume
+        # semantics unchanged.
+        import threading
+
+        pending: threading.Thread | None = None
+        pending_err: list[BaseException] = []
+
+        def _join_pending():
+            nonlocal pending
+            if pending is not None:
+                pending.join()
+                pending = None
+                if pending_err:
+                    raise pending_err[0]
+
+        K = self.config.rank_priority_every
         while wave < max_waves:
-            m = self._run_wave(wave, manifest, pages_slim)
-            if m is None:  # empty frontier → graceful stop (F2 analogue)
+            if K > 0 and wave > 0 and wave % K == 0:
+                _join_pending()  # rank boundary reads deferred results
+            out = self._run_wave(wave, manifest, pages_slim, defer=True)
+            _join_pending()
+            if out is None:  # empty frontier → graceful stop (F2 analogue)
                 break
+            m, finish = out
             manifest.last_wave = wave
             manifest.total_visited += m.get("n_ok", 0)
             manifest.cookie_jar = dict(self.cookie_jar)
             manifest.auth_suppressed_since_wave = self.auth_suppressed_since_wave
-            self.store.commit(manifest)
+
+            def _finalize(fin=finish):
+                try:
+                    fin()
+                    self.store.commit(manifest)
+                except BaseException as e:  # surfaced at the next join
+                    pending_err.append(e)
+
+            pending = threading.Thread(target=_finalize, daemon=True)
+            pending.start()
             summary.wave_metrics.append(m)
             summary.total_fetched += m.get("n_fetched", 0)
             summary.total_ok += m.get("n_ok", 0)
@@ -324,9 +362,11 @@ class CrawlEngine:
                 self.config.compact_visited_every > 0
                 and (wave + 1) % self.config.compact_visited_every == 0
             ):
+                _join_pending()
                 self.store.compact_visited(self.spark, manifest)
             wave += 1
 
+        _join_pending()
         manifest.done = True
         self.store.commit(manifest)
         summary.waves = wave
@@ -518,8 +558,28 @@ class CrawlEngine:
             yield
 
     # ------------------------------------------------------------------
-    def _run_wave(self, wave: int, manifest: Manifest, pages_slim: DataFrame):
+    def _run_wave(
+        self,
+        wave: int,
+        manifest: Manifest,
+        pages_slim: DataFrame,
+        defer: bool = False,
+    ):
         """One wave as ONE materialized stage + shallow projections.
+
+        ``defer=True`` (the run() loop's mode) returns ``(metrics,
+        finish)`` after only the GATING writes — frontier(wave+1) and
+        visited+bloom, the tables the next wave's stage reads — have
+        committed; ``finish()`` blocks on the remaining writes (fetchlog,
+        results, lineage) and writes the metrics row. run() starts wave
+        N+1's stage while finish(N) drains, overlapping the next wave's
+        big materialization with this wave's auxiliary flushes (the spans
+        payload in results is the widest write of the wave). Crash
+        semantics are unchanged: the manifest commits only after
+        finish(), so an interrupted overlap leaves wave N (and any N+1
+        partials) uncommitted and clean_uncommitted recomputes them.
+        ``defer=False`` preserves the fully synchronous contract for
+        direct callers (streaming loop, CLI wrapper).
 
         The ``wavestage`` scratch table (edge grain): normalize ->
         seen-split (Bloom prefilter + exact joins) -> per-unit edge
@@ -992,21 +1052,39 @@ class CrawlEngine:
                     for r in fetchpage.groupBy("partition_id").count().collect():
                         lineage[r["partition_id"]] = r["count"]
 
-        with self._phase("commit-writes"):
-            with ThreadPoolExecutor(max_workers=5) as pool:
-                futures = [
-                    pool.submit(f)
-                    for f in (_w_fetchlog, _w_visited_bloom, _w_results, _w_frontier, _r_lineage)
-                ]
-                for fut in futures:
+        # all five writes run concurrently on one pool; the gating pair
+        # (frontier, visited+bloom) is what the NEXT wave's stage reads,
+        # so defer mode returns as soon as those land
+        pool = ThreadPoolExecutor(max_workers=5)
+        try:
+            gating = [pool.submit(f) for f in (_w_frontier, _w_visited_bloom)]
+            deferred = [pool.submit(f) for f in (_w_fetchlog, _w_results, _r_lineage)]
+            with self._phase("commit-writes-gating"):
+                for fut in gating:
                     fut.result()  # re-raise the first failure
+        except BaseException:
+            pool.shutdown(wait=False)
+            raise
 
         nx = obs_next.get
         self._pending_frontier_count = nx["n_next"]
         m["n_new_links"] = nx["n_new_links"]
 
-        # --- metrics + per-partition lineage (A5) ----------------------------
-        store.write_metrics(
-            wave, {**m, "lineage": {str(k): int(v) for k, v in lineage.items()}}
-        )
+        def finish():
+            # remaining writes + metrics/lineage (A5); the caller commits
+            # the manifest only after this returns
+            try:
+                with self._phase("commit-writes-deferred"):
+                    for fut in deferred:
+                        fut.result()
+                store.write_metrics(
+                    wave,
+                    {**m, "lineage": {str(k): int(v) for k, v in lineage.items()}},
+                )
+            finally:
+                pool.shutdown(wait=False)
+
+        if defer:
+            return m, finish
+        finish()
         return m
