@@ -73,12 +73,18 @@ def main(argv=None) -> int:
         out = orig(wave, manifest, pages_slim, defer=defer)
         if out is None:
             return None
-        # defer mode (the pipelined run loop) returns (metrics, finish)
-        m = out[0] if defer else out
-        print(json.dumps(m), file=log, flush=True)
+        if not defer:  # non-pipelined callers: metrics are durable here
+            print(json.dumps(out), file=log, flush=True)
         return out
 
     engine._run_wave = guarded
+    # pipelined (defer) waves log POST-COMMIT: the engine invokes this
+    # only after the wave's deferred writes and manifest commit land, so
+    # a crash during the overlap can never leave a logged wave the store
+    # doesn't know about on resume
+    engine.on_wave_committed = lambda m: print(
+        json.dumps(m), file=log, flush=True
+    )
     summary = engine.run(
         fixture=fixture, resume=args.resume, max_waves=args.max_waves
     )

@@ -58,6 +58,7 @@ from brink_spark.operators.filters import (
 from brink_spark.operators.politeness import apply_politeness, budget_per_host
 from brink_spark.operators.redirects import collapse_redirect_chains
 from brink_spark.operators.seen import BloomSeenSet, split_seen
+from brink_spark.queries.iterate import cut as _cut
 from brink_spark.storage import CrawlStore, Manifest
 
 FRONTIER_SCHEMA = StructType(
@@ -135,6 +136,11 @@ class CrawlEngine:
         self.cookie_jar: dict[str, str] = dict(config.cookies)
         self.auth_suppressed_since_wave: int | None = None
         self._check_auth_suppression(wave=0)
+        # post-durability hook: called with the wave's metrics dict AFTER
+        # the wave's deferred writes AND manifest commit land on disk —
+        # the point where a logged wave can no longer disagree with the
+        # store on resume (the CLI's per-wave JSONL line hangs off this)
+        self.on_wave_committed = None
 
     def _check_auth_suppression(self, wave: int) -> None:
         """brink.go:177-184: once the jar holds a cookie whose name matches a
@@ -330,41 +336,59 @@ class CrawlEngine:
                     raise pending_err[0]
 
         K = self.config.rank_priority_every
-        while wave < max_waves:
-            if K > 0 and wave > 0 and wave % K == 0:
-                _join_pending()  # rank boundary reads deferred results
-            out = self._run_wave(wave, manifest, pages_slim, defer=True)
-            _join_pending()
-            if out is None:  # empty frontier → graceful stop (F2 analogue)
-                break
-            m, finish = out
-            manifest.last_wave = wave
-            manifest.total_visited += m.get("n_ok", 0)
-            manifest.cookie_jar = dict(self.cookie_jar)
-            manifest.auth_suppressed_since_wave = self.auth_suppressed_since_wave
-
-            def _finalize(fin=finish):
-                try:
-                    fin()
-                    self.store.commit(manifest)
-                except BaseException as e:  # surfaced at the next join
-                    pending_err.append(e)
-
-            pending = threading.Thread(target=_finalize, daemon=True)
-            pending.start()
-            summary.wave_metrics.append(m)
-            summary.total_fetched += m.get("n_fetched", 0)
-            summary.total_ok += m.get("n_ok", 0)
-            summary.total_cached += m.get("n_cached", 0)
-            summary.total_deferred += m.get("n_deferred", 0)
-            summary.total_new_links += m.get("n_new_links", 0)
-            if (
-                self.config.compact_visited_every > 0
-                and (wave + 1) % self.config.compact_visited_every == 0
-            ):
+        try:
+            while wave < max_waves:
+                if K > 0 and wave > 0 and wave % K == 0:
+                    _join_pending()  # rank boundary reads deferred results
+                out = self._run_wave(wave, manifest, pages_slim, defer=True)
                 _join_pending()
-                self.store.compact_visited(self.spark, manifest)
-            wave += 1
+                if out is None:  # empty frontier → graceful stop (F2)
+                    break
+                m, finish = out
+                manifest.last_wave = wave
+                manifest.total_visited += m.get("n_ok", 0)
+                manifest.cookie_jar = dict(self.cookie_jar)
+                manifest.auth_suppressed_since_wave = (
+                    self.auth_suppressed_since_wave
+                )
+
+                def _finalize(fin=finish, wm=m):
+                    try:
+                        fin()
+                        self.store.commit(manifest)
+                        if self.on_wave_committed is not None:
+                            self.on_wave_committed(wm)
+                    except BaseException as e:  # surfaced at the next join
+                        pending_err.append(e)
+
+                pending = threading.Thread(target=_finalize, daemon=True)
+                pending.start()
+                summary.wave_metrics.append(m)
+                summary.total_fetched += m.get("n_fetched", 0)
+                summary.total_ok += m.get("n_ok", 0)
+                summary.total_cached += m.get("n_cached", 0)
+                summary.total_deferred += m.get("n_deferred", 0)
+                summary.total_new_links += m.get("n_new_links", 0)
+                if (
+                    self.config.compact_visited_every > 0
+                    and (wave + 1) % self.config.compact_visited_every == 0
+                ):
+                    _join_pending()
+                    self.store.compact_visited(self.spark, manifest)
+                wave += 1
+        except BaseException as loop_err:
+            # primary failure mid-loop must still JOIN the in-flight
+            # finalize thread for the PREVIOUS wave — a daemon commit
+            # killed at interpreter exit could leave a half-written
+            # manifest, and its buffered pending_err would vanish. The
+            # primary exception propagates; a prior-wave finalize failure
+            # chains as its __cause__ instead of being dropped.
+            if pending is not None:
+                pending.join()
+                pending = None
+            if pending_err and pending_err[0] is not loop_err:
+                raise loop_err from pending_err[0]
+            raise
 
         _join_pending()
         manifest.done = True
@@ -490,6 +514,12 @@ class CrawlEngine:
             .distinct()
         )
         deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        # lineage cuts (queries/iterate.py): edges is re-joined and ranks
+        # re-referenced every iteration; without the cuts the plan — and
+        # the results-table read + normalize UDF under it — doubles per
+        # round, driver planning cost growing 2^RANK_ITERS
+        edges = _cut(edges)
+        nodes = _cut(nodes)
         ranks = nodes.withColumn("rank", F.lit(1_000_000).cast("bigint"))
         for _ in range(self.RANK_ITERS):
             contrib = (
@@ -498,13 +528,18 @@ class CrawlEngine:
                 .select("dst", F.expr("rank div d").alias("c"))
             )
             insum = contrib.groupBy("dst").agg(F.sum("c").alias("insum"))
-            ranks = nodes.join(
-                insum.withColumnRenamed("dst", "node"), "node", "left"
-            ).select(
-                "node",
-                (F.lit(150_000) + F.expr("(85 * coalesce(insum, 0L)) div 100"))
-                .cast("bigint")
-                .alias("rank"),
+            ranks = _cut(
+                nodes.join(
+                    insum.withColumnRenamed("dst", "node"), "node", "left"
+                ).select(
+                    "node",
+                    (
+                        F.lit(150_000)
+                        + F.expr("(85 * coalesce(insum, 0L)) div 100")
+                    )
+                    .cast("bigint")
+                    .alias("rank"),
+                )
             )
         return ranks.select(F.col("node").alias("url_norm"), "rank")
 
@@ -1063,7 +1098,11 @@ class CrawlEngine:
                 for fut in gating:
                     fut.result()  # re-raise the first failure
         except BaseException:
-            pool.shutdown(wait=False)
+            # cancel queued deferred writes too — without cancel_futures
+            # the fetchlog/results/lineage jobs keep running (and writing
+            # partial tables) after the wave has already failed, on
+            # non-daemon pool threads that delay process exit
+            pool.shutdown(wait=False, cancel_futures=True)
             raise
 
         nx = obs_next.get

@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from brink_spark.queries.iterate import min_label_propagate as _min_label_propagate
+
 
 def _docs(spark, sf):
     return spark.read.parquet(f"{sf}/documents.parquet")
@@ -1242,18 +1244,33 @@ def q_dedup_clusters(spark, sf):
     und = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    und = und.distinct()
-    nodes = und.select(F.col("src").alias("node")).distinct()
-    labels = nodes.withColumn("lbl", F.col("node"))
-    for _ in range(3):
-        nb = (
-            und.join(labels.withColumnRenamed("node", "src"), "src")
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("lbl").alias("nb_min"))
-        )
-        labels = labels.join(nb, "node", "left").select(
-            "node", F.least("lbl", F.coalesce("nb_min", "lbl")).alias("lbl")
-        )
+    # min_label_propagate cuts `und` once — without that cut each round
+    # re-derives the whole MinHash pipeline (shingle explode + 8
+    # permutations): lineage doubled per round, measured 2.3× the pair
+    # query it wraps at sf0.1 (see brink_spark/queries/iterate.py)
+    labels = _min_label_propagate(und.distinct(), rounds=3)
+    return labels.groupBy(F.col("lbl").alias("canonical_doc")).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+
+
+def q_dedup_clusters_converged(spark, sf):
+    """Convergence-mode near-dup clustering — the PRODUCTION form of
+    q_dedup_clusters: min-label propagation iterated to a fixed point
+    (stop when the round changes zero labels) instead of a fixed 3
+    rounds, so chains of any diameter collapse into one cluster. A 100 TB
+    corpus-dedup job wants this; the fixed-round twin stays as the
+    driver-gate query because its oracle is exactly expressible in SQL
+    CTEs. Per round: one shuffle keyed on dst, a lineage cut, and ONE
+    driver-side count of changed labels (the loop condition — bounded
+    driver state, no data collected). Round cap 50 is a runaway guard:
+    label propagation converges in O(diameter) rounds and real link
+    graphs have small diameter."""
+    pairs = q_dedup_minhash_lsh(spark, sf)
+    und = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    labels = _min_label_propagate(und.distinct(), rounds=None)
     return labels.groupBy(F.col("lbl").alias("canonical_doc")).agg(
         F.count(F.lit(1)).alias("cluster_size")
     )

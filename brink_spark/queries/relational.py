@@ -17,6 +17,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from brink_spark.queries.iterate import cut as _cut
+from brink_spark.queries.iterate import min_label_propagate as _min_label_propagate
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -458,6 +461,11 @@ def q_graph_pagerank(spark, sf):
         .distinct()
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # lineage cuts: edges/nodes are re-referenced every round and ranks
+    # feeds both the contrib join and the next round — without cuts the
+    # plan re-derives the events scan per round (iterate.py rationale)
+    edges = _cut(edges)
+    nodes = _cut(nodes)
     ranks = nodes.withColumn("rank", F.lit(1_000_000).cast("bigint"))
     for _ in range(3):
         contrib = (
@@ -466,14 +474,16 @@ def q_graph_pagerank(spark, sf):
             .select("dst", F.expr("rank div d").alias("c"))
         )
         insum = contrib.groupBy("dst").agg(F.sum("c").alias("insum"))
-        ranks = nodes.join(
-            insum.withColumnRenamed("dst", "node"), "node", "left"
-        ).select(
-            "node",
-            (
-                F.lit(150_000)
-                + F.expr("(85 * coalesce(insum, 0L)) div 100")
-            ).cast("bigint").alias("rank"),
+        ranks = _cut(
+            nodes.join(
+                insum.withColumnRenamed("dst", "node"), "node", "left"
+            ).select(
+                "node",
+                (
+                    F.lit(150_000)
+                    + F.expr("(85 * coalesce(insum, 0L)) div 100")
+                ).cast("bigint").alias("rank"),
+            )
         )
     return ranks.select("node", F.col("rank").alias("rank_x1e6"))
 
@@ -520,17 +530,7 @@ def q_graph_components(spark, sf):
     und = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
-    nodes = und.select(F.col("src").alias("node")).distinct()
-    labels = nodes.withColumn("lbl", F.col("node"))
-    for _ in range(4):
-        nb = (
-            und.join(labels.withColumnRenamed("node", "src"), "src")
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("lbl").alias("nb_min"))
-        )
-        labels = labels.join(nb, "node", "left").select(
-            "node", F.least("lbl", F.coalesce("nb_min", "lbl")).alias("lbl")
-        )
+    labels = _min_label_propagate(und, rounds=4)
     return labels.groupBy(F.col("lbl").alias("component")).agg(
         F.count(F.lit(1)).alias("n_nodes")
     )
@@ -855,8 +855,11 @@ def q_events_asof_join(spark, sf):
     (user), per-key data is a user's own history (bounded), so the
     window never concentrates the corpus. Clicks sort before purchases
     on equal timestamps (tag 0 < 1), matching DuckDB ASOF's inclusive
-    `>=`; the testdata has no equal-ts ties (verified at sf0.001-0.1),
-    so both engines pick identical rows. Outputs epoch-second BIGINTs
+    `>=`; event_id is the final sort key so two same-user clicks with
+    EQUAL timestamps carry a deterministic click_id (the highest
+    event_id) across runs — DuckDB ASOF's tie choice is arbitrary, but
+    the testdata has no equal-ts ties (verified at sf0.001-0.1), so
+    both engines pick identical rows. Outputs epoch-second BIGINTs
     (the same unix_timestamp <-> FLOOR(epoch()) pairing the other event
     queries hash-match on) — no timestamp-type hashing differences."""
     from pyspark.sql import Window
@@ -878,7 +881,7 @@ def q_events_asof_join(spark, sf):
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "tag")
+        .orderBy("ts", "tag", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = tagged.withColumn(

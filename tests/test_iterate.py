@@ -1,0 +1,75 @@
+"""Iterative-loop lineage control (queries/iterate.py): plan depth stays
+flat as rounds grow, and convergence mode collapses chains the fixed-round
+driver-gate form cannot (VERDICT r3 "What's wrong" #1 / #3)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _chain_pairs(spark, n=8):
+    """doc_1—doc_2—...—doc_n: a path graph of diameter n-1."""
+    rows = [(f"doc_{i}", f"doc_{i + 1}") for i in range(1, n)]
+    return spark.createDataFrame(rows, ["doc_a", "doc_b"])
+
+
+def _und(pairs):
+    return (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+    )
+
+
+def test_plan_depth_constant_in_rounds(spark):
+    """The lineage cut means round N+1 plans against a flat scan of round
+    N's materialized result — the ANALYZED plan of the final labels frame
+    must not grow with the round count (uncached it doubles per round:
+    6 rounds would be ~2^4× the 2-round plan)."""
+    from brink_spark.queries.iterate import min_label_propagate
+
+    und = _und(_chain_pairs(spark))
+    p2 = min_label_propagate(und, rounds=2)._jdf.queryExecution().analyzed().toString()
+    p6 = min_label_propagate(und, rounds=6)._jdf.queryExecution().analyzed().toString()
+    assert len(p6) <= 2 * len(p2)
+
+
+def test_fixed_rounds_leave_long_chain_split(monkeypatch, spark):
+    """Contract check for the driver-gate form: 3 rounds cannot collapse a
+    diameter-7 chain (documented, oracle matches) — this pins WHY the
+    converged variant exists."""
+    import brink_spark.queries.pipeline as pl
+
+    monkeypatch.setattr(
+        pl, "q_dedup_minhash_lsh", lambda s, sf: _chain_pairs(spark)
+    )
+    out = pl.q_dedup_clusters(spark, "ignored").collect()
+    assert len(out) > 1  # still split after 3 rounds
+
+
+def test_converged_recovers_single_cluster(monkeypatch, spark):
+    """Production form: iterate-to-fixed-point recovers the ONE cluster on
+    a chain of diameter > 3, canonical = min doc_id, size = all 8 nodes."""
+    import brink_spark.queries.pipeline as pl
+
+    monkeypatch.setattr(
+        pl, "q_dedup_minhash_lsh", lambda s, sf: _chain_pairs(spark)
+    )
+    out = pl.q_dedup_clusters_converged(spark, "ignored").collect()
+    assert len(out) == 1
+    assert out[0]["canonical_doc"] == "doc_1"
+    assert out[0]["cluster_size"] == 8
+
+
+def test_converged_matches_fixed_when_diameter_small(monkeypatch, spark):
+    """On a graph that 3 rounds already converge (two triangles), both
+    forms agree exactly — the converged variant is a strict generalization."""
+    import brink_spark.queries.pipeline as pl
+
+    rows = [("a", "b"), ("b", "c"), ("a", "c"), ("x", "y"), ("y", "z"), ("x", "z")]
+    pairs = spark.createDataFrame(rows, ["doc_a", "doc_b"])
+    monkeypatch.setattr(pl, "q_dedup_minhash_lsh", lambda s, sf: pairs)
+    fixed = sorted(map(tuple, pl.q_dedup_clusters(spark, "i").collect()))
+    conv = sorted(map(tuple, pl.q_dedup_clusters_converged(spark, "i").collect()))
+    assert fixed == conv == [("a", 3), ("x", 3)]
