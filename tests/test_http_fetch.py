@@ -149,3 +149,72 @@ def test_crawl_wave_over_real_sockets_equals_synthetic(
 
     assert _state(eng_http) == _state(eng_syn)
     assert eng_http.cookie_jar == eng_syn.cookie_jar == {"sid": "1"}
+
+
+def test_concurrent_kernel_overlaps_hosts(spark):
+    """The r3 verdict's 'serial fetch kernel' fix: a partition holding K
+    latency-bound HOSTS must approach K× overlap. Four loopback servers
+    (four netlocs), each sleeping 0.25 s per request, 2 URLs per host:
+    serial kernel ≈ 8 × 0.25 = 2 s of pure latency; the concurrent
+    kernel overlaps the hosts (same-host URLs stay serial) ≈ 0.5 s. The
+    bound asserts strictly better than half the serial latency floor,
+    loose enough for CI jitter. Single partition so the overlap is
+    attributable to the in-task pool, not Spark parallelism."""
+    import time
+
+    from brink_spark.operators.http_fetch import http_fetch_columns
+
+    delay = 0.25
+
+    class SlowHandler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            time.sleep(delay)
+            body = f"ok {self.path}".encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    servers = [ThreadingHTTPServer(("127.0.0.1", 0), SlowHandler) for _ in range(4)]
+    for s in servers:
+        threading.Thread(target=s.serve_forever, daemon=True).start()
+    try:
+        urls = [
+            f"http://127.0.0.1:{s.server_address[1]}{path}"
+            for s in servers
+            for path in ("/a", "/b")
+        ]
+        units = spark.createDataFrame(
+            [(u, u) for u in urls], "url_norm string, url string"
+        ).coalesce(1)
+
+        def timed(pool_size):
+            t0 = time.time()
+            rows = {
+                r["url"]: r
+                for r in http_fetch_columns(
+                    units, headers={}, pool_size=pool_size
+                ).collect()
+            }
+            return time.time() - t0, rows
+
+        timed(16)  # warm the session (first mapInPandas job pays setup)
+        wall_c, rows = timed(16)
+        wall_s, rows_s = timed(1)  # pool_size=1 == the old serial kernel
+        # serial pays >= 8 * 0.25 = 2 s of latency on top of the same
+        # Spark overhead; concurrent overlaps the 4 hosts (~0.5 s).
+        assert wall_c < wall_s - len(urls) * delay / 2, (
+            f"no overlap: concurrent {wall_c:.2f}s vs serial {wall_s:.2f}s"
+        )
+        for u in urls:
+            assert rows[u]["page_status"] == 200
+            assert rows[u]["body"] == "ok /" + u.rsplit("/", 1)[-1]
+        assert {u: (r["page_status"], r["body"]) for u, r in rows.items()} == {
+            u: (r["page_status"], r["body"]) for u, r in rows_s.items()
+        }  # identical output either way — determinism under concurrency
+    finally:
+        for s in servers:
+            s.shutdown()
