@@ -54,13 +54,22 @@ HEADLINE = [
     "vocab_stats",
     "events_asof_join",
     "events_range_join",
+    # round-4 additions
+    "dedup_clusters_converged",
+    "sales_opportunity",
+    "supplier_parts_distinct",
+    "top_parts_per_supplier",
+    "revenue_rollup",
+    "events_funnel",
 ]
 
 CRAWL_WAVES = 10
 CRAWL_SEEDS = 100
 
 
-def run_crawl_bench(spark, cpus: int) -> tuple[float, dict]:
+def run_crawl_bench(
+    spark, cpus: int, pipeline_waves: bool = True
+) -> tuple[float, dict]:
     from pyspark.sql import functions as F
 
     from brink_spark.plans.crawl import CrawlEngine
@@ -71,7 +80,11 @@ def run_crawl_bench(spark, cpus: int) -> tuple[float, dict]:
     shutil.rmtree(store_dir, ignore_errors=True)
     # lean mode: no synchronous per-wave diagnostics; counts post-hoc
     engine = CrawlEngine(
-        spark, fixture.config.with_(collect_metrics=False), store_dir
+        spark,
+        fixture.config.with_(
+            collect_metrics=False, pipeline_waves=pipeline_waves
+        ),
+        store_dir,
     )
     # wide seed set so waves ramp to steady-state quickly (throughput bench,
     # not the oracle-parity configuration)
@@ -158,24 +171,34 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    # crawl: best-of-2, escalating to best-of-3 when the two runs disagree
-    # by >30% — on this host a noisy-neighbor burst can hit BOTH runs of a
-    # ~60 s job, so a large spread means neither wall is trustworthy and
-    # one more sample is cheap insurance. A tight spread stops at 2.
-    runs = [run_crawl_bench(spark, cpus) for _ in range(2)]
-    walls = [w for w, _ in runs]
-    if (max(walls) - min(walls)) / min(walls) > 0.30:
-        runs.append(run_crawl_bench(spark, cpus))
-        walls = [w for w, _ in runs]
-    crawl_wall, crawl_stats = min(runs, key=lambda r: r[0])
-    crawl_spread = round(max(walls) - min(walls), 3)
-    timings["crawl_small"] = round(crawl_wall, 3)
-    spread["crawl_small"] = crawl_spread
-    total += crawl_wall
-    print(
-        f"# crawl (best of {len(runs)}, spread {crawl_spread}s): {crawl_stats}",
-        file=sys.stderr,
-    )
+    # crawl: sync and pipelined modes, INTERLEAVED best-of-2 (sync, pipe,
+    # sync, pipe) so a noisy-neighbor burst hits both modes alike and the
+    # pipelining delta stays attributable. Escalates a mode to best-of-3
+    # when its two runs disagree by >30% (a burst can hit both runs of a
+    # ~60 s job, so a big spread means neither wall is trustworthy).
+    # crawl_small stays the sync wall (comparable with earlier rounds);
+    # crawl_pipelined records the r3 wave-overlap win as a first-class
+    # bench number. Only the PIPELINED wall (the engine's default mode)
+    # counts toward the headline total.
+    runs: dict[bool, list[tuple[float, dict]]] = {False: [], True: []}
+    for _ in range(2):
+        for mode in (False, True):
+            runs[mode].append(run_crawl_bench(spark, cpus, pipeline_waves=mode))
+    for mode, key in ((False, "crawl_small"), (True, "crawl_pipelined")):
+        walls = [w for w, _ in runs[mode]]
+        if (max(walls) - min(walls)) / min(walls) > 0.30:
+            runs[mode].append(run_crawl_bench(spark, cpus, pipeline_waves=mode))
+            walls = [w for w, _ in runs[mode]]
+        wall, stats = min(runs[mode], key=lambda r: r[0])
+        timings[key] = round(wall, 3)
+        spread[key] = round(max(walls) - min(walls), 3)
+        if mode:  # pipelined (default engine mode) is the headline number
+            total += wall
+            crawl_stats = stats
+        print(
+            f"# {key} (best of {len(runs[mode])}, spread {spread[key]}s): {stats}",
+            file=sys.stderr,
+        )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

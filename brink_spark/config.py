@@ -74,6 +74,11 @@ class CrawlConfig:
     fetch_mode: str = "synthetic"
     http_timeout: float = 10.0
     # --- engine knobs (physical, not semantic) ---
+    # overlap wave N+1's stage job with wave N's deferred writes +
+    # manifest commit (plans/crawl.py run loop). False = synchronous
+    # waves — same results and same per-wave durability order, used by
+    # bench.py's pipelined-vs-sync A/B and as a debugging fallback.
+    pipeline_waves: bool = True
     use_bloom: bool = True
     # which approximate seen-filter backs the prefilter when active:
     # 'bloom' (operators/seen.py) or 'cuckoo' (operators/cuckoo.py — same

@@ -361,8 +361,13 @@ class CrawlEngine:
                     except BaseException as e:  # surfaced at the next join
                         pending_err.append(e)
 
-                pending = threading.Thread(target=_finalize, daemon=True)
-                pending.start()
+                if self.config.pipeline_waves:
+                    pending = threading.Thread(target=_finalize, daemon=True)
+                    pending.start()
+                else:  # synchronous mode: finalize inline, errors raise now
+                    _finalize()
+                    if pending_err:
+                        raise pending_err[0]
                 summary.wave_metrics.append(m)
                 summary.total_fetched += m.get("n_fetched", 0)
                 summary.total_ok += m.get("n_ok", 0)

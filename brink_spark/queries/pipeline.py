@@ -1277,8 +1277,13 @@ def q_dedup_clusters_converged(spark, sf):
 
 
 def _sql_cc_round(prev: str, out: str) -> str:
+    # AS MATERIALIZED: each round references the previous round TWICE
+    # (and `und` once); without forced materialization DuckDB may inline
+    # the chain and re-evaluate the whole upstream MinHash pipeline
+    # 2^rounds times — the 8-round converged oracle never finishes.
+    # Materialization cannot change results, only evaluation count.
     return f"""
-{out} AS (
+{out} AS MATERIALIZED (
   SELECT l.node, LEAST(l.lbl, COALESCE(s.nb_min, l.lbl)) AS lbl
   FROM {prev} l LEFT JOIN (
     SELECT u.dst AS node, MIN(r.lbl) AS nb_min
@@ -1292,13 +1297,39 @@ WITH {_SQL_SHINGLES},
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM sig a JOIN sig b ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id),
-und AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+und AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
         UNION SELECT doc_b, doc_a FROM pairs),
-l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM und),
+l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM und),
 {_sql_cc_round("l0", "l1")},
 {_sql_cc_round("l1", "l2")},
 {_sql_cc_round("l2", "l3")}
 SELECT lbl AS canonical_doc, COUNT(*) AS cluster_size FROM l3 GROUP BY lbl
+"""
+
+# Oracle for the CONVERGED form: 8 unrolled rounds. Valid while the LSH
+# pair graph reaches its fixed point within 8 rounds of min-label
+# propagation — measured 2 rounds at sf0.01 (the driver's gate scale) and
+# 4 at sf0.1, and propagation halves the effective diameter's slack each
+# extra round. The Spark side iterates to an EXACT fixed point, whose
+# labels the 8-round unroll reproduces whenever it, too, has converged.
+SQL_DEDUP_CLUSTERS_CONVERGED = f"""
+WITH {_SQL_SHINGLES},
+{_SQL_MINHASH_CTES},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id),
+und AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM und),
+{_sql_cc_round("l0", "l1")},
+{_sql_cc_round("l1", "l2")},
+{_sql_cc_round("l2", "l3")},
+{_sql_cc_round("l3", "l4")},
+{_sql_cc_round("l4", "l5")},
+{_sql_cc_round("l5", "l6")},
+{_sql_cc_round("l6", "l7")},
+{_sql_cc_round("l7", "l8")}
+SELECT lbl AS canonical_doc, COUNT(*) AS cluster_size FROM l8 GROUP BY lbl
 """
 
 
@@ -1727,4 +1758,8 @@ PIPELINE_QUERIES = {
     "source_rollup": (q_source_rollup, SQL_SOURCE_ROLLUP),
     "vocab_stats": (q_vocab_stats, SQL_VOCAB_STATS),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    "dedup_clusters_converged": (
+        q_dedup_clusters_converged,
+        SQL_DEDUP_CLUSTERS_CONVERGED,
+    ),
 }

@@ -15,7 +15,7 @@ Plan-quality notes (checked via .explain):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from brink_spark.queries.iterate import cut as _cut
 from brink_spark.queries.iterate import min_label_propagate as _min_label_propagate
@@ -986,6 +986,253 @@ GROUP BY p.purchase_id, p.user_id, p.pts
 """
 
 
+SALES_OPP_MAX_ORDERS = 7  # "low-engagement": fewer than this many orders
+
+
+def q_sales_opportunity(spark, sf):
+    """TPC-H Q22 shape, generalized so it is non-vacuous on this
+    testdata (every synthetic customer has >= 1 order, so Q22's literal
+    NOT EXISTS is empty): customers richer than the average
+    positive-balance customer with FEWER THAN 7 orders, rolled up by
+    nation — the anti-join is exactly the k=1 special case. Catalyst
+    shapes: a scalar aggregate broadcast against the customer table (no
+    shuffle for the threshold) and a left join against the pre-
+    aggregated per-customer order count (partial-agg groupBy on
+    custkey — the count table is one row per customer, far smaller
+    than orders). Threshold arithmetic is avg-of-integer-cents, so both
+    engines divide the same two exact integers — the boundary can't
+    move between engines."""
+    c = _t(spark, sf, "customer").withColumn(
+        "bal_x100", F.round(F.col("c_acctbal") * 100).cast("bigint")
+    )
+    o = _t(spark, sf, "orders")
+    n = _t(spark, sf, "nation")
+    thr = c.filter(F.col("bal_x100") > 0).agg(
+        F.avg("bal_x100").alias("thr")  # exact-int sum / count: same double
+    )
+    cnt = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    rich = c.join(F.broadcast(thr)).filter(F.col("bal_x100") > F.col("thr"))
+    low = rich.join(cnt, "c_custkey", "left").filter(
+        F.coalesce("n_orders", F.lit(0)) < SALES_OPP_MAX_ORDERS
+    )
+    return (
+        low.join(F.broadcast(n), low.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("bal_x100").alias("acctbal_x100"),
+        )
+    )
+
+
+SQL_SALES_OPPORTUNITY = f"""
+WITH c AS (SELECT *, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_x100
+           FROM customer)
+SELECT n_name, COUNT(*) AS n_customers,
+       CAST(SUM(bal_x100) AS BIGINT) AS acctbal_x100
+FROM c JOIN nation ON c_nationkey = n_nationkey
+WHERE bal_x100 > (SELECT AVG(bal_x100) FROM c WHERE bal_x100 > 0)
+  AND (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey)
+      < {SALES_OPP_MAX_ORDERS}
+GROUP BY n_name
+"""
+
+
+def q_supplier_parts_distinct(spark, sf):
+    """TPC-H Q16 shape (adapted — the testdata has no partsupp table, so
+    supply relationships come from lineitem): per (brand, size), how
+    many DISTINCT suppliers shipped a non-STANDARD part. COUNT DISTINCT
+    over a join: Spark plans it as a two-phase partial-distinct agg
+    (map-side dedup before the shuffle), the part dim broadcasts."""
+    l = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part").filter(~F.col("p_type").startswith("STANDARD"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+SQL_SUPPLIER_PARTS_DISTINCT = """
+SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_type NOT LIKE 'STANDARD%'
+GROUP BY p_brand, p_size
+"""
+
+
+def q_top_parts_per_supplier(spark, sf):
+    """Top-N per group via window dense_rank: each supplier's 3 highest-
+    revenue parts. Revenue is per-row-rounded integer ten-thousandths
+    (the repo's exact-sum pattern) and the rank orders by
+    (revenue DESC, partkey ASC), so ranking is bit-deterministic in
+    both engines. Scale shape: ONE shuffle on s_suppkey; the window
+    partition is a single supplier's parts (bounded), never the corpus."""
+    l = _t(spark, sf, "lineitem")
+    rev = l.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+            ).cast("bigint")
+        ).alias("revenue_x10000")
+    )
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.col("revenue_x10000").desc(), F.col("l_partkey").asc()
+    )
+    return (
+        rev.withColumn("rnk", F.dense_rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("l_suppkey").alias("s_suppkey"),
+            F.col("l_partkey").alias("p_partkey"),
+            "revenue_x10000",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+SQL_TOP_PARTS_PER_SUPPLIER = """
+WITH rev AS (
+  SELECT l_suppkey, l_partkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                       AS BIGINT)) AS BIGINT) AS revenue_x10000
+  FROM lineitem GROUP BY l_suppkey, l_partkey)
+SELECT l_suppkey AS s_suppkey, l_partkey AS p_partkey, revenue_x10000,
+       CAST(rnk AS INT) AS rnk
+FROM (SELECT *, DENSE_RANK() OVER (PARTITION BY l_suppkey
+        ORDER BY revenue_x10000 DESC, l_partkey ASC) AS rnk FROM rev)
+WHERE rnk <= 3
+"""
+
+
+def q_revenue_rollup(spark, sf):
+    """Multi-dimensional aggregate via ROLLUP (nation, order-year):
+    detail rows + per-nation subtotals + grand total in ONE pass —
+    Spark expands the grouping sets before the exchange, so partial
+    aggregation still happens map-side and the shuffle carries one
+    row per (set, key), not one pass per set. gid = grouping(n)*2 +
+    grouping(y), computed identically in both engines; rolled-up keys
+    surface as 'ALL' / -1 (never NULL) so value hashing is exact."""
+    l = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    base = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            F.year("o_orderdate").alias("o_year"),
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+            )
+            .cast("bigint")
+            .alias("rev"),
+        )
+    )
+    return (
+        base.rollup("n_name", "o_year")
+        .agg(
+            F.sum("rev").alias("revenue_x10000"),
+            F.count(F.lit(1)).alias("n_items"),
+            (F.grouping("n_name") * 2 + F.grouping("o_year"))
+            .cast("int")
+            .alias("gid"),
+        )
+        .select(
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            F.coalesce("o_year", F.lit(-1)).cast("int").alias("o_year"),
+            "revenue_x10000",
+            "n_items",
+            "gid",
+        )
+    )
+
+
+SQL_REVENUE_ROLLUP = """
+SELECT COALESCE(n_name, 'ALL') AS nation,
+       CAST(COALESCE(EXTRACT(YEAR FROM o_orderdate), -1) AS INT) AS o_year,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                     AS BIGINT)) AS BIGINT) AS revenue_x10000,
+       COUNT(*) AS n_items,
+       CAST(GROUPING(n_name) * 2 + GROUPING(EXTRACT(YEAR FROM o_orderdate))
+            AS INT) AS gid
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, EXTRACT(YEAR FROM o_orderdate))
+"""
+
+
+def q_events_funnel(spark, sf):
+    """Ordered funnel over the event stream: per user, did a view
+    precede a click precede a purchase (strict ts order, ties broken by
+    event_id so both engines see the same order)? One shuffle on
+    user_id; per-user state is three (ts, event_id) minima computed as
+    packed integer aggregates — no window, no sort, pure partial-agg.
+    Output: one row per funnel stage with the user count — the classic
+    conversion readout."""
+    ev = _t(spark, sf, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    # pack (epoch_s, event_id) into one orderable BIGINT: ts_s * 2^20 +
+    # event_id mod 2^20 — min() then recovers the earliest (ts, id) pair
+    packed = F.unix_timestamp("ts") * F.lit(1 << 20) + F.pmod(
+        "event_id", F.lit(1 << 20)
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", packed)).alias("v"),
+        F.min(F.when(F.col("event_type") == "click", packed)).alias("c"),
+        F.min(F.when(F.col("event_type") == "purchase", packed)).alias("p"),
+    )
+    staged = per_user.select(
+        F.col("v").isNotNull().alias("s1"),
+        (
+            F.col("v").isNotNull()
+            & F.col("c").isNotNull()
+            & (F.col("c") > F.col("v"))
+        ).alias("s2"),
+        (
+            F.col("v").isNotNull()
+            & F.col("c").isNotNull()
+            & (F.col("c") > F.col("v"))
+            & F.col("p").isNotNull()
+            & (F.col("p") > F.col("c"))
+        ).alias("s3"),
+    )
+    return staged.agg(
+        F.count_if("s1").alias("viewed"),
+        F.count_if("s2").alias("view_then_click"),
+        F.count_if("s3").alias("full_funnel"),
+    )
+
+
+SQL_EVENTS_FUNNEL = """
+WITH per_user AS (
+  SELECT user_id,
+    MIN(CASE WHEN event_type = 'view' THEN
+      CAST(FLOOR(epoch(ts)) AS BIGINT) * 1048576 + event_id % 1048576 END) AS v,
+    MIN(CASE WHEN event_type = 'click' THEN
+      CAST(FLOOR(epoch(ts)) AS BIGINT) * 1048576 + event_id % 1048576 END) AS c,
+    MIN(CASE WHEN event_type = 'purchase' THEN
+      CAST(FLOOR(epoch(ts)) AS BIGINT) * 1048576 + event_id % 1048576 END) AS p
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+  GROUP BY user_id)
+SELECT CAST(SUM(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS viewed,
+       CAST(SUM(CASE WHEN v IS NOT NULL AND c IS NOT NULL AND c > v
+                     THEN 1 ELSE 0 END) AS BIGINT) AS view_then_click,
+       CAST(SUM(CASE WHEN v IS NOT NULL AND c IS NOT NULL AND c > v
+                     AND p IS NOT NULL AND p > c
+                     THEN 1 ELSE 0 END) AS BIGINT) AS full_funnel
+FROM per_user
+"""
+
+
 RELATIONAL_QUERIES = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE_NATION),
@@ -1010,4 +1257,15 @@ RELATIONAL_QUERIES = {
     "discount_revenue": (q_discount_revenue, SQL_DISCOUNT_REVENUE),
     "events_asof_join": (q_events_asof_join, SQL_EVENTS_ASOF),
     "events_range_join": (q_events_range_join, SQL_EVENTS_RANGE),
+    "sales_opportunity": (q_sales_opportunity, SQL_SALES_OPPORTUNITY),
+    "supplier_parts_distinct": (
+        q_supplier_parts_distinct,
+        SQL_SUPPLIER_PARTS_DISTINCT,
+    ),
+    "top_parts_per_supplier": (
+        q_top_parts_per_supplier,
+        SQL_TOP_PARTS_PER_SUPPLIER,
+    ),
+    "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
+    "events_funnel": (q_events_funnel, SQL_EVENTS_FUNNEL),
 }
