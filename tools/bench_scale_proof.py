@@ -74,14 +74,24 @@ def synth_corpus(spark, n_docs: int, out_dir: str) -> None:
 
 def task_skew(eventlog_dir: str) -> list[dict]:
     """Per-stage task-duration skew from the newest event log file."""
-    files = sorted(
+    entries = sorted(
         (os.path.join(eventlog_dir, f) for f in os.listdir(eventlog_dir)
          if not f.startswith(".")),
         key=os.path.getmtime,
     )
+    newest = entries[-1]
+    if os.path.isdir(newest):  # Spark 4 rolling layout: events_* inside
+        files = sorted(
+            os.path.join(newest, f)
+            for f in os.listdir(newest)
+            if f.startswith("events_")
+        )
+    else:
+        files = [newest]
     stages: dict[int, list[float]] = {}
     names: dict[int, str] = {}
-    for line in open(files[-1]):
+    lines = (ln for f in files for ln in open(f))
+    for line in lines:
         try:
             ev = json.loads(line)
         except json.JSONDecodeError:
@@ -128,6 +138,8 @@ def main() -> None:
         extra={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": f"file://{evdir}",
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
             "spark.ui.showConsoleProgress": "false",
         },
     )
