@@ -207,3 +207,40 @@ def test_dedup_chunks_boilerplate_hot_key(monkeypatch, spark):
     assert all(r["n_chunks"] == 2 for r in got)
     assert all(r["n_shared_chunks"] == 1 for r in got)  # the boilerplate
     assert all(r["shared_permille"] == 500 for r in got)
+
+
+def test_round4_shapes_plan_quality(spark):
+    """Round-4 queries keep the plans they were designed for: dims
+    broadcast (no sort-merge join anywhere), the rollup expands grouping
+    sets BEFORE one exchange (Expand feeding partial HashAggregate, not
+    one pass per set), the window top-N sorts only within its single
+    suppkey exchange, and the funnel is pure partial-agg — no Window."""
+    from brink_spark.queries.relational import (
+        q_events_funnel,
+        q_revenue_rollup,
+        q_sales_opportunity,
+        q_supplier_parts_distinct,
+        q_top_parts_per_supplier,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    def plan(q):
+        return q(spark, sf)._jdf.queryExecution().executedPlan().toString()
+
+    for q in (q_sales_opportunity, q_supplier_parts_distinct, q_revenue_rollup):
+        p = plan(q)
+        assert "BroadcastHashJoin" in p
+        assert "SortMergeJoin" not in p
+
+    p = plan(q_revenue_rollup)
+    assert "Expand" in p  # grouping sets expanded once, map-side
+    assert "HashAggregate" in p
+
+    p = plan(q_top_parts_per_supplier)
+    assert "Window" in p
+    assert "SortMergeJoin" not in p
+
+    p = plan(q_events_funnel)
+    assert "Window" not in p  # packed-min aggregation, no window
+    assert "HashAggregate" in p
