@@ -61,6 +61,9 @@ HEADLINE = [
     "top_parts_per_supplier",
     "revenue_rollup",
     "events_funnel",
+    "brand_year_trend",
+    "customer_running_total",
+    "value_percentiles",
 ]
 
 CRAWL_WAVES = 10

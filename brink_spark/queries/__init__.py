@@ -30,6 +30,9 @@ _NEED_DRIVER_ROW = [
     "revenue_rollup",
     "events_funnel",
     "dedup_clusters_converged",
+    "brand_year_trend",
+    "customer_running_total",
+    "value_percentiles",
 ]
 
 _MERGED: dict = {**RELATIONAL_QUERIES, **PIPELINE_QUERIES}

@@ -1233,6 +1233,121 @@ FROM per_user
 """
 
 
+def q_brand_year_trend(spark, sf):
+    """LAG window shape: yearly revenue per part brand with the
+    year-over-year delta. The lag partition is one brand's ~7 yearly
+    rows — after the (brand, year) pre-aggregation (partial, map-side)
+    the window input is dim-sized, so the sort inside each partition is
+    trivial at any corpus scale. Delta for a brand's first year is 0
+    (COALESCE-d identically in both engines)."""
+    l = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    rev = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("bigint")
+            ).alias("revenue_x100")
+        )
+    )
+    w = Window.partitionBy("p_brand").orderBy("ship_year")
+    return rev.select(
+        "p_brand",
+        F.col("ship_year").cast("int").alias("ship_year"),
+        "revenue_x100",
+        (
+            F.col("revenue_x100")
+            - F.coalesce(F.lag("revenue_x100").over(w), F.col("revenue_x100"))
+        ).alias("yoy_delta_x100"),
+    )
+
+
+SQL_BRAND_YEAR_TREND = """
+WITH rev AS (
+  SELECT p_brand, CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS ship_year,
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS revenue_x100
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand, EXTRACT(YEAR FROM l_shipdate))
+SELECT p_brand, ship_year, revenue_x100,
+       CAST(revenue_x100 - COALESCE(LAG(revenue_x100) OVER
+         (PARTITION BY p_brand ORDER BY ship_year), revenue_x100)
+         AS BIGINT) AS yoy_delta_x100
+FROM rev
+"""
+
+
+def q_customer_running_total(spark, sf):
+    """Running-aggregate window shape: each customer's cumulative spend
+    over their order history, ordered by (date, orderkey) — the
+    tie-break makes the prefix sums bit-deterministic. One shuffle on
+    custkey; a partition is one customer's own orders (bounded), the
+    canonical safe window at 100 TB. Values are per-row-rounded cents,
+    so prefix sums are exact integers in both engines."""
+    o = _t(spark, sf, "orders").withColumn(
+        "price_x100", F.round(F.col("o_totalprice") * 100).cast("bigint")
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.unix_timestamp("o_orderdate").alias("order_epoch"),
+        F.sum("price_x100").over(w).alias("running_spend_x100"),
+    )
+
+
+SQL_CUSTOMER_RUNNING_TOTAL = """
+SELECT o_custkey, o_orderkey,
+       CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS order_epoch,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER
+         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS running_spend_x100
+FROM orders
+"""
+
+
+def q_value_percentiles(spark, sf):
+    """Exact interpolated percentiles (p50/p90/p99) of event value per
+    event type. Spark's `percentile` and DuckDB's `quantile_cont` share
+    the (n-1)*p linear-interpolation definition; inputs are integer
+    cents so both engines interpolate the same two exact integers —
+    outputs are scaled back to integer hundredths-of-a-cent. Spark's
+    exact percentile collects each group's values to its one reducer,
+    which is fine for a bounded group count (5 event types); the
+    unbounded-cardinality variant would use approx_percentile."""
+    ev = _t(spark, sf, "events").withColumn(
+        "v", F.round(F.col("value") * 100).cast("bigint")
+    )
+    pct = ev.groupBy("event_type").agg(
+        F.expr("percentile(v, array(0.5D, 0.9D, 0.99D))").alias("p")
+    )
+    return pct.select(
+        "event_type",
+        F.round(F.col("p")[0] * 100).cast("bigint").alias("p50_x10000"),
+        F.round(F.col("p")[1] * 100).cast("bigint").alias("p90_x10000"),
+        F.round(F.col("p")[2] * 100).cast("bigint").alias("p99_x10000"),
+    )
+
+
+SQL_VALUE_PERCENTILES = """
+WITH ev AS (SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v
+            FROM events)
+SELECT event_type,
+       CAST(ROUND(quantile_cont(v, 0.5)  * 100) AS BIGINT) AS p50_x10000,
+       CAST(ROUND(quantile_cont(v, 0.9)  * 100) AS BIGINT) AS p90_x10000,
+       CAST(ROUND(quantile_cont(v, 0.99) * 100) AS BIGINT) AS p99_x10000
+FROM ev GROUP BY event_type
+"""
+
+
 RELATIONAL_QUERIES = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE_NATION),
@@ -1268,4 +1383,10 @@ RELATIONAL_QUERIES = {
     ),
     "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
     "events_funnel": (q_events_funnel, SQL_EVENTS_FUNNEL),
+    "brand_year_trend": (q_brand_year_trend, SQL_BRAND_YEAR_TREND),
+    "customer_running_total": (
+        q_customer_running_total,
+        SQL_CUSTOMER_RUNNING_TOTAL,
+    ),
+    "value_percentiles": (q_value_percentiles, SQL_VALUE_PERCENTILES),
 }
