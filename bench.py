@@ -187,11 +187,18 @@ def main() -> None:
     for _ in range(2):
         for mode in (False, True):
             runs[mode].append(run_crawl_bench(spark, cpus, pipeline_waves=mode))
+    # escalation is SYMMETRIC: if either mode's runs disagree by >30%, both
+    # modes get a third (still interleaved) sample — otherwise the noisy
+    # mode alone gets an extra draw at a quiet window and the sync-vs-
+    # pipelined comparison is biased by sample count.
+    if any(
+        (max(ws) - min(ws)) / min(ws) > 0.30
+        for ws in ([w for w, _ in rs] for rs in runs.values())
+    ):
+        for mode in (False, True):
+            runs[mode].append(run_crawl_bench(spark, cpus, pipeline_waves=mode))
     for mode, key in ((False, "crawl_small"), (True, "crawl_pipelined")):
         walls = [w for w, _ in runs[mode]]
-        if (max(walls) - min(walls)) / min(walls) > 0.30:
-            runs[mode].append(run_crawl_bench(spark, cpus, pipeline_waves=mode))
-            walls = [w for w, _ in runs[mode]]
         wall, stats = min(runs[mode], key=lambda r: r[0])
         timings[key] = round(wall, 3)
         spread[key] = round(max(walls) - min(walls), 3)
