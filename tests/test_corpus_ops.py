@@ -244,3 +244,36 @@ def test_round4_shapes_plan_quality(spark):
     p = plan(q_events_funnel)
     assert "Window" not in p  # packed-min aggregation, no window
     assert "HashAggregate" in p
+
+
+def test_window_shapes_plan_quality(spark):
+    """brand_year_trend's LAG window runs over the PRE-AGGREGATED
+    (brand, year) rows — partial HashAggregate below the window, dim
+    broadcast, no sort-merge join; customer_running_total is one window
+    over one custkey exchange."""
+    from brink_spark.queries.relational import (
+        q_brand_year_trend,
+        q_customer_running_total,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    p = (
+        q_brand_year_trend(spark, sf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    assert "HashAggregate" in p and "Window" in p
+    # aggregate happens below the window: the window's child plan chain
+    # contains the aggregate, not the raw scan directly
+    assert p.index("Window") < p.index("HashAggregate")
+
+    p = (
+        q_customer_running_total(spark, sf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" in p
+    assert p.count("Exchange") == 1  # one custkey shuffle, nothing else

@@ -73,3 +73,59 @@ def test_converged_matches_fixed_when_diameter_small(monkeypatch, spark):
     fixed = sorted(map(tuple, pl.q_dedup_clusters(spark, "i").collect()))
     conv = sorted(map(tuple, pl.q_dedup_clusters_converged(spark, "i").collect()))
     assert fixed == conv == [("a", 3), ("x", 3)]
+
+
+from hypothesis import given, settings, strategies as st
+
+_edges_strategy = st.lists(
+    st.tuples(st.integers(0, 24), st.integers(0, 24)).filter(
+        lambda e: e[0] != e[1]
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(_edges_strategy)
+def test_converged_propagation_equals_union_find(spark, edges):
+    """Property: on ANY graph, iterate-to-fixed-point min-label
+    propagation produces exactly the connected components (label = min
+    node id of the component), verified against a pure-Python
+    union-find oracle. Few examples, arbitrary topology — cycles,
+    multi-edges, stars, disjoint blobs all land here."""
+    from pyspark.sql import functions as F
+
+    from brink_spark.queries.iterate import min_label_propagate
+
+    # union-find oracle
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expect = {}
+    for n in parent:
+        expect.setdefault(find(n), set()).add(n)
+    want = {min(m): sorted(m) for m in expect.values()}
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    und = df.union(
+        df.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = min_label_propagate(und, rounds=None)
+    got = {}
+    for r in labels.collect():
+        got.setdefault(r["lbl"], []).append(r["node"])
+    assert {k: sorted(v) for k, v in got.items()} == want
