@@ -33,6 +33,7 @@ _NEED_DRIVER_ROW = [
     "brand_year_trend",
     "customer_running_total",
     "value_percentiles",
+    "events_hopping",
 ]
 
 _MERGED: dict = {**RELATIONAL_QUERIES, **PIPELINE_QUERIES}

@@ -245,6 +245,50 @@ GROUP BY 1, 2
 """
 
 
+def q_events_hopping(spark, sf):
+    """HOPPING (sliding) windows: 1-hour windows every 30 minutes, so
+    each event contributes to exactly 2 overlapping windows — Spark's
+    native `window(ts, '1 hour', '30 minutes')` (the same operator the
+    streaming path uses under a watermark; this is its batch form).
+    Spark implements hopping windows as an internal explode — one row
+    per covered window BEFORE the partial aggregation, so map-side
+    combine still applies and the shuffle carries (window, type) rows.
+    The DuckDB oracle makes the expansion explicit with generate_series
+    over the two covering window starts."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "total_value_x100"
+            ),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("win_start_epoch"),
+            "event_type",
+            "n_events",
+            "total_value_x100",
+        )
+    )
+
+
+SQL_EVENTS_HOPPING = """
+WITH expanded AS (
+  -- an event at epoch t is covered by exactly the two 30-min-aligned
+  -- window starts w0 = floor(t/1800)*1800 (t-w0 in [0,1800)) and
+  -- w0-1800 (t-w in [1800,3600)): both always satisfy w <= t < w+3600
+  SELECT e.*,
+         (CAST(FLOOR(epoch(ts) / 1800) AS BIGINT) - g.i) * 1800 AS win_start
+  FROM events e, (SELECT UNNEST(generate_series(0, 1)) AS i) g)
+SELECT win_start AS win_start_epoch, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+         AS total_value_x100
+FROM expanded GROUP BY 1, 2
+"""
+
+
 def q_events_sessionize(spark, sf):
     """Session windows via gap > 30 min (lag + cumulative sum), then
     sessions-per-user — the stateful-streaming shape in batch."""
@@ -1389,4 +1433,5 @@ RELATIONAL_QUERIES = {
         SQL_CUSTOMER_RUNNING_TOTAL,
     ),
     "value_percentiles": (q_value_percentiles, SQL_VALUE_PERCENTILES),
+    "events_hopping": (q_events_hopping, SQL_EVENTS_HOPPING),
 }

@@ -52,3 +52,49 @@ def test_streaming_tumbling_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM ev_tumbling").collect()
     }
     assert got == want
+
+
+def test_streaming_hopping_matches_batch(spark, tmp_path):
+    """Hopping (sliding) windows under a watermark: every event lands in
+    TWO overlapping 1-hour windows (30-min hop); the drained stream must
+    equal the batch q_events_hopping semantics exactly."""
+    import shutil
+
+    batch = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n_events")
+    )
+    want = {(r["ws"], r["event_type"]): r["n_events"] for r in batch.collect()}
+    n_rows = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert sum(want.values()) == 2 * n_rows  # each event in exactly 2 windows
+
+    src_dir = tmp_path / "events_hop_in"
+    src_dir.mkdir()
+    shutil.copy(f"{SF}/events.parquet", src_dir / "part-0.parquet")
+    schema = spark.read.parquet(f"{SF}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(str(src_dir))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n_events")
+    )
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("ev_hopping")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hop"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["ws"], r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM ev_hopping").collect()
+    }
+    assert got == want
