@@ -73,6 +73,11 @@ class CrawlConfig:
     # operators/http_fetch.py — no pages table needed)
     fetch_mode: str = "synthetic"
     http_timeout: float = 10.0
+    # concurrent HOSTS per fetch task (operators/http_fetch.py): same-host
+    # URLs stay serial on one keep-alive connection; different hosts
+    # overlap on a bounded per-task pool. Cluster-wide fan-out is
+    # http_pool_size x running tasks.
+    http_pool_size: int = 16
     # --- engine knobs (physical, not semantic) ---
     # overlap wave N+1's stage job with wave N's deferred writes +
     # manifest commit (plans/crawl.py run loop). False = synchronous

@@ -430,7 +430,10 @@ class CrawlEngine:
                 else eligible_units.repartition(salt0)
             )
             fetched = http_fetch_columns(
-                eligible_units, self.request_headers(), cfg.http_timeout
+                eligible_units,
+                self.request_headers(),
+                cfg.http_timeout,
+                pool_size=cfg.http_pool_size,
             )
         else:
             fetched = eligible_units.join(pages_slim, "url_norm", "left")
@@ -776,6 +779,7 @@ class CrawlEngine:
                 self.request_headers(),
                 cfg.http_timeout,
                 guard_col="_do_fetch",
+                pool_size=cfg.http_pool_size,
             ).drop("_do_fetch")
         else:
             # conditional equi-join key: non-fetch rows get a key no
