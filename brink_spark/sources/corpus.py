@@ -107,3 +107,50 @@ def corpus_to_dir(spark, store_dir: str, n_waves: int, out_dir: str) -> int:
     df = corpus_from_store(spark, store_dir, n_waves)
     df.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
     return spark.read.parquet(f"{out_dir}/documents.parquet").count()
+
+
+def write_training_shards(
+    df: DataFrame, out_dir: str, rows_per_shard: int = 100_000
+) -> dict:
+    """Deterministic training-shard export — the sink side of the
+    pipeline: split a cleaned corpus into ~``rows_per_shard``-row parquet
+    shards whose MEMBERSHIP is a pure function of ``doc_id``, so the same
+    corpus yields byte-identical shard assignment on 4 cores or 4,000
+    executors (key-hash assignment, never partition-index assignment —
+    partition indices depend on parallelism; xxhash64(doc_id) does not).
+
+    Layout: ``{out_dir}/shard=K/*.parquet`` (dir-per-shard via
+    partitionBy after a repartition ON the shard key, so each shard is
+    one task's single file in the common case) + ``{out_dir}/_manifest``
+    (JSON: shard count, per-shard row counts, total). Returns the
+    manifest dict. Per-shard row counts vary binomially around the
+    target (hash assignment); exactly-equal sizing would need a global
+    sort — not worth a corpus-wide shuffle for a training export."""
+    import json
+    import math
+
+    total = df.count()
+    n_shards = max(1, math.ceil(total / rows_per_shard))
+    sharded = df.withColumn(
+        "shard", F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(n_shards))
+    )
+    (
+        sharded.repartition(n_shards, "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+    spark = df.sparkSession
+    counts = {
+        int(r["shard"]): int(r["count"])
+        for r in spark.read.parquet(out_dir).groupBy("shard").count().collect()
+    }
+    manifest = {
+        "n_shards": n_shards,
+        "rows_per_shard_target": rows_per_shard,
+        "total_rows": total,
+        "shard_rows": {str(k): v for k, v in sorted(counts.items())},
+    }
+    with open(f"{out_dir}/_manifest", "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
