@@ -286,3 +286,103 @@ def warc_to_pages_indexed(
             "status int, content_length long, body string, redirect_to string"
         ),
     )
+
+
+def store_to_warc(
+    spark, store_dir: str, n_waves: int, out_dir: str, segments: int = 8
+) -> None:
+    """DISTRIBUTED crawl→WARC export: the archival sink next to the
+    driver-side ``write_warc`` test helper. Each fetched document in the
+    crawl store's results tables becomes one WARC/1.0 response record
+    (body re-rendered from its canonical span sequence — the store keeps
+    spans, and render/parse round-trips by contract, functions/spans.py);
+    records land in ``segments`` archive files whose MEMBERSHIP AND
+    ORDER are pure functions of url_norm (key-hash segment + url_norm
+    sort), so the same store exports byte-identical archives at any
+    parallelism. Executors write their own segment files + cdx offset
+    indexes directly (one task per segment, no driver fan-in); every
+    segment is readable by ``warc_to_pages`` / ``warc_to_pages_indexed``
+    like any external archive."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from brink_spark.functions.spans import Span, render_html
+
+    os.makedirs(out_dir, exist_ok=True)
+    res = spark.read.parquet(
+        *[f"{store_dir}/results/wave={w}" for w in range(n_waves)]
+    ).filter(F.col("row_kind") == "fetched")
+    res = res.select(
+        "url_norm",
+        "status",
+        "spans",
+        F.pmod(F.xxhash64("url_norm"), F.lit(segments)).alias("seg"),
+    )
+    out_abs = os.path.abspath(out_dir)
+
+    def _write_segments(batches):
+        import json
+
+        import pandas as pd
+
+        by_seg: dict[int, list] = {}
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                raw_spans = row["spans"]  # Arrow hands back a numpy array
+                spans = [
+                    Span(s["kind"], s["text"], s["media_ref"], s["offset"])
+                    for s in (raw_spans if raw_spans is not None else [])
+                ]
+                by_seg.setdefault(int(row["seg"]), []).append(
+                    (row["url_norm"], int(row["status"]), render_html(spans))
+                )
+        out = []
+        for seg, recs in by_seg.items():
+            recs.sort(key=lambda r: r[0])  # deterministic in-segment order
+            path = f"{out_abs}/segment-{seg:05d}.warc"
+            entries = []
+            with open(path, "wb") as fh:
+                for url, status, body in recs:
+                    b = body.encode("utf-8")
+                    http = (
+                        f"HTTP/1.1 {status} X".encode() + _CRLF
+                        + b"Content-Type: text/html" + _CRLF
+                        + f"Content-Length: {len(b)}".encode() + _CRLF
+                        + _CRLF + b
+                    )
+                    rec = (
+                        b"WARC/1.0" + _CRLF
+                        + b"WARC-Type: response" + _CRLF
+                        + f"WARC-Target-URI: {url}".encode() + _CRLF
+                        + b"Content-Type: application/http;msgtype=response" + _CRLF
+                        + f"Content-Length: {len(http)}".encode() + _CRLF
+                        + _CRLF + http + _CRLF + _CRLF
+                    )
+                    entries.append(
+                        {"offset": fh.tell(), "length": len(rec), "uri": url}
+                    )
+                    fh.write(rec)
+            with open(cdx_path(path), "w") as fh:
+                for e in entries:
+                    fh.write(json.dumps(e) + "\n")
+            out.append((seg, len(recs)))
+        yield pd.DataFrame(out, columns=["seg", "n_records"])
+
+    # one task per segment: records co-locate by seg value. (hash(seg) can
+    # fold two seg values into one task — the kernel handles that by
+    # writing one file per seg VALUE, so layout stays segment-accurate.)
+    counts = (
+        res.repartition(segments, "seg")
+        .mapInPandas(_write_segments, schema="seg int, n_records long")
+        .collect()
+    )
+    import json
+
+    manifest = {
+        "segments": segments,
+        "records": {str(r["seg"]): int(r["n_records"]) for r in counts},
+        "total_records": int(sum(r["n_records"] for r in counts)),
+    }
+    with open(f"{out_dir}/_manifest", "w") as f:
+        json.dump(manifest, f, indent=1)
