@@ -34,6 +34,8 @@ _NEED_DRIVER_ROW = [
     "customer_running_total",
     "value_percentiles",
     "events_hopping",
+    "events_retention",
+    "supplier_market_share",
 ]
 
 _MERGED: dict = {**RELATIONAL_QUERIES, **PIPELINE_QUERIES}

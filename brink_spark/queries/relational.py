@@ -1392,6 +1392,95 @@ FROM ev GROUP BY event_type
 """
 
 
+def q_events_retention(spark, sf):
+    """Daily cohort retention: per signup day (a user's first event
+    day), how many users were active on day+1 and day+2. Two partial
+    aggregations — (user → first week) then (user, week) distinct
+    activity — joined on user: both shuffles key on user_id, the second
+    input is already deduplicated map-side. All-integer epoch-week
+    arithmetic, identical in both engines."""
+    ev = _t(spark, sf, "events").select(
+        "user_id", F.expr("unix_timestamp(ts) div 86400").alias("wk")
+    )
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("wk0"))
+    active = ev.distinct()
+    joined = first.join(active, "user_id").select(
+        "user_id", "wk0", (F.col("wk") - F.col("wk0")).alias("dw")
+    )
+    return joined.groupBy("wk0").agg(
+        F.count_distinct("user_id").alias("cohort_users"),
+        F.count_distinct(F.when(F.col("dw") == 1, F.col("user_id"))).alias(
+            "retained_w1"
+        ),
+        F.count_distinct(F.when(F.col("dw") == 2, F.col("user_id"))).alias(
+            "retained_w2"
+        ),
+    )
+
+
+SQL_EVENTS_RETENTION = """
+WITH ev AS (SELECT user_id,
+                   CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS wk
+            FROM events),
+first AS (SELECT user_id, MIN(wk) AS wk0 FROM ev GROUP BY user_id),
+joined AS (
+  SELECT DISTINCT f.user_id, f.wk0, e.wk - f.wk0 AS dw
+  FROM first f JOIN ev e ON e.user_id = f.user_id)
+SELECT wk0, COUNT(DISTINCT user_id) AS cohort_users,
+       COUNT(DISTINCT CASE WHEN dw = 1 THEN user_id END) AS retained_w1,
+       COUNT(DISTINCT CASE WHEN dw = 2 THEN user_id END) AS retained_w2
+FROM joined GROUP BY wk0
+"""
+
+
+def q_supplier_market_share(spark, sf):
+    """Windowed share-of-total: each supplier's revenue as integer
+    permille of its NATION's total — sum-over-partition window on the
+    pre-aggregated per-supplier rows (supplier-count-sized input, one
+    shuffle on the nation key). The permille division is integer-exact
+    on identical bigint numerators/denominators in both engines."""
+    l = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    rev = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name", "s_suppkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("bigint")
+            ).alias("rev_x100")
+        )
+    )
+    w = Window.partitionBy("n_name")
+    return rev.select(
+        "n_name",
+        "s_suppkey",
+        "rev_x100",
+        F.expr("rev_x100 * 1000 div sum(rev_x100) over (partition by n_name)")
+        .cast("bigint")
+        .alias("share_permille"),
+    )
+
+
+SQL_SUPPLIER_MARKET_SHARE = """
+WITH rev AS (
+  SELECT n_name, s_suppkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS rev_x100
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  GROUP BY n_name, s_suppkey)
+SELECT n_name, s_suppkey, rev_x100,
+       CAST(rev_x100 * 1000 // SUM(rev_x100) OVER (PARTITION BY n_name)
+            AS BIGINT) AS share_permille
+FROM rev
+"""
+
+
 RELATIONAL_QUERIES = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE_NATION),
@@ -1434,4 +1523,9 @@ RELATIONAL_QUERIES = {
     ),
     "value_percentiles": (q_value_percentiles, SQL_VALUE_PERCENTILES),
     "events_hopping": (q_events_hopping, SQL_EVENTS_HOPPING),
+    "events_retention": (q_events_retention, SQL_EVENTS_RETENTION),
+    "supplier_market_share": (
+        q_supplier_market_share,
+        SQL_SUPPLIER_MARKET_SHARE,
+    ),
 }
