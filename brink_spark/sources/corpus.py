@@ -154,3 +154,33 @@ def write_training_shards(
     with open(f"{out_dir}/_manifest", "w") as f:
         json.dump(manifest, f, indent=1)
     return manifest
+
+
+DOCUMENTS_SCHEMA = (
+    "doc_id bigint, text string, lang string, source string, n_chars bigint"
+)
+
+
+def documents_to_jsonl(df: DataFrame, out_dir: str) -> None:
+    """Export a documents-shaped corpus as gzip JSONL shards — the
+    interchange format most external training pipelines ingest. One
+    object per line, stable column subset (DOCUMENTS_SCHEMA order);
+    compression is codec-level so readers stream it anywhere."""
+    df.select("doc_id", "text", "lang", "source", "n_chars").write.mode(
+        "overwrite"
+    ).option("compression", "gzip").json(out_dir)
+
+
+def documents_from_jsonl(spark, path: str) -> DataFrame:
+    """Read a JSONL corpus (plain or gzip, file/dir/glob) into the
+    documents shape every queries/pipeline.py operator consumes. The
+    schema is EXPLICIT — schema inference over a 100 TB corpus is a
+    full extra pass and type-drifts on dirty lines; a fixed schema makes
+    malformed lines null-field rows instead (filter n_chars/doc_id
+    nullity upstream if the corpus is dirty). Missing n_chars is
+    recomputed from text."""
+    df = spark.read.schema(DOCUMENTS_SCHEMA).json(path)
+    return df.withColumn(
+        "n_chars",
+        F.coalesce(F.col("n_chars"), F.length("text").cast("bigint")),
+    )
