@@ -1481,6 +1481,452 @@ FROM rev
 """
 
 
+def q_discount_forecast(spark, sf):
+    """TPC-H Q6 shape: pure predicate scan + ungrouped aggregate — the
+    "what-if we dropped these discounts" forecast. No join at all: the
+    three filters sit directly on the parquet scan (PushedFilters) and
+    the sum is a map-side partial into a single-row final agg, so the
+    only exchange is the 1-row gather. The discount band compares
+    ROUND(l_discount*100) as an integer so the FP literal 0.02 can
+    never straddle engines."""
+    l = _t(spark, sf, "lineitem")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("int")
+    return (
+        l.filter(
+            (F.year("l_shipdate") == 1996)
+            & disc_pct.between(2, 6)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * F.col("l_discount") * 10000
+                ).cast("bigint")
+            ).alias("forecast_x10000"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_DISCOUNT_FORECAST = """
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 10000) AS BIGINT))
+            AS BIGINT) AS forecast_x10000,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE year(l_shipdate) = 1996
+  AND CAST(ROUND(l_discount * 100) AS INT) BETWEEN 2 AND 6
+  AND l_quantity < 24
+"""
+
+
+RETURNED_REV_FLOOR_X100 = 500_000 * 100  # keep customers above $500k returned
+
+
+def q_returned_revenue(spark, sf):
+    """TPC-H Q10 shape: returned-item revenue per customer. Aggregate
+    BEFORE the dimension joins: lineitem(returnflag='R') ⋈ orders
+    shuffles on orderkey, reduces to one row per customer, and only
+    then joins customer+nation (broadcast — dims are tiny vs the fact).
+    Q10's ORDER BY..LIMIT 20 is replaced by a fixed revenue floor so
+    the result is a deterministic SET (top-k ties would hash-flip)."""
+    l = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    per_cust = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("bigint")
+            ).alias("returned_x100")
+        )
+        .filter(F.col("returned_x100") > RETURNED_REV_FLOOR_X100)
+    )
+    return per_cust.join(
+        F.broadcast(c), per_cust.o_custkey == c.c_custkey
+    ).join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey", "c_name", "n_name", "returned_x100"
+    )
+
+
+SQL_RETURNED_REVENUE = f"""
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS returned_x100
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+HAVING CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) > {RETURNED_REV_FLOOR_X100}
+"""
+
+
+def q_late_priority_lines(spark, sf):
+    """TPC-H Q12 shape (adapted: the testdata has no l_shipmode or
+    l_commitdate, so the grouping dimension is l_linestatus and "late"
+    means shipped >90 days after the order date). One shuffle join on
+    orderkey, then count_if splits high- vs low-priority late lines —
+    the same conditional-aggregation topology as Q12."""
+    l = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 90 DAYS"
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(late)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count_if(high).alias("high_priority_late"),
+            F.count_if(~high).alias("low_priority_late"),
+        )
+    )
+
+
+SQL_LATE_PRIORITY_LINES = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_late,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_priority_late
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY l_linestatus
+"""
+
+
+def q_small_qty_revenue(spark, sf):
+    """TPC-H Q17 shape: the correlated AVG subquery ("lineitems whose
+    quantity is under 20% of the part's average") decorrelated into a
+    per-part aggregate + self-join on l_partkey — both sides shuffle on
+    the same key once, then the threshold is the exact integer
+    cross-multiply 5*qty*cnt < sum_qty (no FP average; quantities are
+    integral). part joins broadcast for the brand rollup."""
+    l = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    qty = F.col("l_quantity").cast("bigint")
+    per_part = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(qty).alias("sum_qty"), F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        l.join(per_part, l.l_partkey == per_part.pk)
+        .filter(qty * F.col("cnt") * 5 < F.col("sum_qty"))
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_small_lines"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+                "small_rev_x100"
+            ),
+        )
+    )
+
+
+SQL_SMALL_QTY_REVENUE = """
+WITH pq AS (
+  SELECT l_partkey AS pk,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         COUNT(*) AS cnt
+  FROM lineitem GROUP BY l_partkey)
+SELECT p_brand, COUNT(*) AS n_small_lines,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS small_rev_x100
+FROM lineitem
+JOIN pq ON l_partkey = pk
+JOIN part ON p_partkey = l_partkey
+WHERE 5 * CAST(l_quantity AS BIGINT) * cnt < sum_qty
+GROUP BY p_brand
+"""
+
+
+def q_waiting_suppliers(spark, sf):
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    finished multi-supplier order. The reference SQL is a quadruple
+    EXISTS/NOT-EXISTS self-join; the scale form is ONE grouped pass per
+    orderkey computing (distinct suppliers, distinct late suppliers,
+    the late supplier when unique) — the two correlated existentials
+    collapse into count-distinct aggregates, so the whole query is two
+    shuffles (orderkey, then suppkey) instead of four self-joins.
+    "Late" = shipped >60 days after order date (no l_receiptdate in
+    this testdata); order status 'F' filters to finished orders."""
+    l = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf, "supplier")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 60 DAYS"
+    )
+    per_order = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
+            F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    return (
+        per_order.groupBy("late_supp")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(s), F.col("late_supp") == s.s_suppkey)
+        .select(F.col("s_suppkey"), F.col("s_name"), F.col("numwait"))
+    )
+
+
+SQL_WAITING_SUPPLIERS = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                        THEN l_suppkey END) AS n_late,
+         MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+             THEN l_suppkey END) AS late_supp
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY l_orderkey)
+SELECT s_suppkey, s_name, COUNT(*) AS numwait
+FROM per_order JOIN supplier ON late_supp = s_suppkey
+WHERE n_supp > 1 AND n_late = 1
+GROUP BY s_suppkey, s_name
+"""
+
+
+def q_min_cost_supplier(spark, sf):
+    """TPC-H Q2 shape: the correlated MIN subquery ("the supplier
+    offering this part at the region's minimum cost"). No partsupp
+    table in this testdata, so supply cost := the supplier's minimum
+    observed unit price (round(extendedprice/quantity*100)) from
+    lineitem. EUROPE suppliers come from a broadcast semi-join
+    (supplier⋈nation⋈region is ~100 rows); the correlated MIN
+    decorrelates into a per-part aggregate joined back — at this
+    cardinality (≤ parts×suppliers rows) AQE turns it into a broadcast
+    join. Ties (two suppliers at the same min cost) keep both rows,
+    exactly as Q2's original does."""
+    l = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)
+    )
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    eu_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey")
+    )
+    cost = (
+        l.join(F.broadcast(eu_supp), l.l_suppkey == eu_supp.s_suppkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("l_suppkey").alias("s_suppkey"),
+        )
+        .agg(
+            F.min(
+                F.round(
+                    F.col("l_extendedprice") / F.col("l_quantity") * 100
+                ).cast("bigint")
+            ).alias("cost_x100")
+        )
+    )
+    # per-part min as a window, not groupBy+join-back: the (part,supplier)
+    # rows are already clustered by part after the agg exchange, so the
+    # window re-shuffles once on p_partkey and the correlated-min filter
+    # needs no second join (2 exchanges total, no SMJ). Per-partition
+    # width is one part's supplier count — bounded, never the corpus.
+    w = Window.partitionBy("p_partkey")
+    return (
+        cost.withColumn("min_cost", F.min("cost_x100").over(w))
+        .filter(F.col("cost_x100") == F.col("min_cost"))
+        .select("p_partkey", "s_suppkey", "cost_x100")
+    )
+
+
+SQL_MIN_COST_SUPPLIER = """
+WITH eu AS (
+  SELECT s_suppkey FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'),
+cost AS (
+  SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,
+         CAST(MIN(CAST(ROUND(l_extendedprice / l_quantity * 100) AS BIGINT))
+              AS BIGINT) AS cost_x100
+  FROM lineitem
+  JOIN eu ON l_suppkey = eu.s_suppkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'STANDARD' AND p_size <= 10
+  GROUP BY l_partkey, l_suppkey),
+mc AS (SELECT p_partkey, MIN(cost_x100) AS min_cost FROM cost
+       GROUP BY p_partkey)
+SELECT cost.p_partkey, cost.s_suppkey, cost.cost_x100
+FROM cost JOIN mc ON cost.p_partkey = mc.p_partkey
+               AND cost.cost_x100 = mc.min_cost
+"""
+
+
+IMPORTANT_PART_PPM = 65  # parts holding > 65/100000 of total revenue
+
+
+def q_important_parts(spark, sf):
+    """TPC-H Q11 shape: groups whose value exceeds a FRACTION OF THE
+    GLOBAL TOTAL — the scalar-subquery threshold. Per-part revenue
+    aggregates once (map-side partial into a partkey shuffle); the
+    1-row global total crossJoin-broadcasts back; the comparison is the
+    exact integer cross-multiply val*100000 > PPM*total (no FP share).
+    This is the share-of-GLOBAL-total twin of supplier_market_share's
+    share-of-partition window."""
+    l = _t(spark, sf, "lineitem")
+    val = l.groupBy(F.col("l_partkey")).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+            "value_x100"
+        )
+    )
+    total = val.agg(F.sum("value_x100").alias("total_x100"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_x100") * 100000
+            > F.lit(IMPORTANT_PART_PPM) * F.col("total_x100")
+        )
+        .select("l_partkey", "value_x100")
+    )
+
+
+SQL_IMPORTANT_PARTS = f"""
+WITH v AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS value_x100
+  FROM lineitem GROUP BY l_partkey),
+t AS (SELECT CAST(SUM(value_x100) AS BIGINT) AS total_x100 FROM v)
+SELECT l_partkey, value_x100 FROM v, t
+WHERE value_x100 * 100000 > {IMPORTANT_PART_PPM} * total_x100
+"""
+
+
+def q_dominant_suppliers(spark, sf):
+    """TPC-H Q20 shape: the nested "more than X% of that part's total"
+    existential — suppliers shipping >1/8 of a 'small …' part's global
+    quantity. The part-name filter broadcasts into the fact scan; the
+    per-(part,supplier) and per-part aggregates share the partkey
+    shuffle; the threshold is the integer cross-multiply 8*q > total.
+    Output is per-supplier: how many parts they dominate (the EXISTS
+    collapses into a count ≥ 1)."""
+    l = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part").filter(F.col("p_name").startswith("small"))
+    qty = F.col("l_quantity").cast("bigint")
+    sq = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .agg(F.sum(qty).alias("q"))
+    )
+    # per-part total as a window instead of groupBy+join-back (which costs
+    # a second aggregate exchange plus an SMJ): one re-shuffle on pk, the
+    # partition is one part's supplier list — bounded per key.
+    w = Window.partitionBy("pk")
+    return (
+        sq.withColumn("t", F.sum("q").over(w))
+        .filter(F.col("q") * 8 > F.col("t"))
+        .groupBy(F.col("sk").alias("s_suppkey"))
+        .agg(F.count(F.lit(1)).alias("n_dominated_parts"))
+    )
+
+
+SQL_DOMINANT_SUPPLIERS = """
+WITH sq AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'small%'
+  GROUP BY l_partkey, l_suppkey),
+tq AS (SELECT pk, CAST(SUM(q) AS BIGINT) AS t FROM sq GROUP BY pk)
+SELECT sk AS s_suppkey, COUNT(*) AS n_dominated_parts
+FROM sq JOIN tq USING (pk)
+WHERE q * 8 > t
+GROUP BY sk
+"""
+
+
+def q_nation_market_share(spark, sf):
+    """TPC-H Q8 shape: one nation's share of a region's market for one
+    part type, by order year. The fact table joins the three tiny dims
+    (part filtered to ECONOMY, supplier→nation for the numerator flag,
+    customer→nation→region for the EUROPE market filter) ALL by
+    broadcast — the only exchange is the per-year aggregate — and the
+    share is an exact integer permille of bigint sums (CASE-sum
+    numerator / total denominator), so no FP division order matters."""
+    l = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    p = _t(spark, sf, "part").filter(F.col("p_type") == "ECONOMY")
+    s = _t(spark, sf, "supplier")
+    c = _t(spark, sf, "customer")
+    n_s = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n_c = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    joined = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n_c), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == r.r_regionkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n_s), s.s_nationkey == F.col("sn_key"))
+    )
+    agg = joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0))).alias(
+            "nation_rev_x100"
+        ),
+        F.sum(rev).alias("market_rev_x100"),
+    )
+    return agg.select(
+        "o_year",
+        "nation_rev_x100",
+        "market_rev_x100",
+        F.expr("nation_rev_x100 * 1000 div market_rev_x100")
+        .cast("bigint")
+        .alias("share_permille"),
+    )
+
+
+SQL_NATION_MARKET_SHARE = """
+SELECT year(o_orderdate) AS o_year,
+       CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS nation_rev_x100,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+            AS BIGINT) AS market_rev_x100,
+       CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                ELSE 0 END) * 1000
+            // SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+            AS BIGINT) AS share_permille
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region   ON cn.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE p_type = 'ECONOMY' AND r_name = 'EUROPE'
+GROUP BY year(o_orderdate)
+"""
+
+
 RELATIONAL_QUERIES = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE_NATION),
@@ -1528,4 +1974,13 @@ RELATIONAL_QUERIES = {
         q_supplier_market_share,
         SQL_SUPPLIER_MARKET_SHARE,
     ),
+    "discount_forecast": (q_discount_forecast, SQL_DISCOUNT_FORECAST),
+    "returned_revenue": (q_returned_revenue, SQL_RETURNED_REVENUE),
+    "late_priority_lines": (q_late_priority_lines, SQL_LATE_PRIORITY_LINES),
+    "small_qty_revenue": (q_small_qty_revenue, SQL_SMALL_QTY_REVENUE),
+    "waiting_suppliers": (q_waiting_suppliers, SQL_WAITING_SUPPLIERS),
+    "min_cost_supplier": (q_min_cost_supplier, SQL_MIN_COST_SUPPLIER),
+    "important_parts": (q_important_parts, SQL_IMPORTANT_PARTS),
+    "dominant_suppliers": (q_dominant_suppliers, SQL_DOMINANT_SUPPLIERS),
+    "nation_market_share": (q_nation_market_share, SQL_NATION_MARKET_SHARE),
 }

@@ -159,3 +159,53 @@ def test_ann_topk_rerank_plan_is_bucket_join(spark):
     plan = _codegen(q_ann_lsh_topk(spark, SF.replace("sf0.01", "sf0.001")))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q6_scan_only_no_join_partial_agg(spark):
+    """discount_forecast (Q6 shape) must be a pure scan+aggregate: zero
+    joins, the quantity predicate pushed to the parquet scan, and the sum
+    partial before its single 1-row exchange."""
+    from brink_spark.queries.relational import q_discount_forecast
+
+    df = q_discount_forecast(spark, SF)
+    plan = _formatted(df)
+    assert "Join" not in plan
+    assert "LessThan(l_quantity,24" in plan  # pushed to the scan
+    simple = _codegen(df)
+    assert "partial_sum" in simple
+
+
+def test_correlated_subquery_shapes_decorrelate_to_hash_plans(spark):
+    """The Q2/Q17/Q20/Q21 adaptations re-express correlated subqueries as
+    aggregates + hash joins/windows: no CartesianProduct anywhere, and the
+    window variants (Q2, Q20) keep exchange counts at their floor instead
+    of paying a second aggregate + sort-merge join-back."""
+    from brink_spark.queries.relational import (
+        q_dominant_suppliers,
+        q_min_cost_supplier,
+        q_small_qty_revenue,
+        q_waiting_suppliers,
+    )
+
+    for q in (q_small_qty_revenue, q_waiting_suppliers):
+        plan = _codegen(q(spark, SF))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    for q, max_exchanges in ((q_min_cost_supplier, 2), (q_dominant_suppliers, 3)):
+        plan = _codegen(q(spark, SF))
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan
+        assert plan.count("Exchange hashpartitioning") <= max_exchanges
+
+
+def test_scalar_total_threshold_is_single_row_broadcast(spark):
+    """important_parts (Q11 shape): the global-total threshold must enter
+    as a broadcast of the 1-row aggregate (BroadcastNestedLoopJoin over a
+    single-row build side is the correct scalar-subquery plan), never a
+    shuffled join or a cartesian over the data."""
+    from brink_spark.queries.relational import q_important_parts
+
+    plan = _codegen(q_important_parts(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
