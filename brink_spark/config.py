@@ -55,6 +55,25 @@ class CrawlConfig:
     # --- north_rule scheduler extensions ---
     politeness_budget: int = DEFAULT_POLITENESS_BUDGET  # fetches/host/wave default
     max_waves: int = DEFAULT_MAX_WAVES
+    # --- crawler-trap guards (extensions; 0 = off for both) ---
+    # max_depth: drop outlinks whose link-hop distance from a seed would
+    # exceed this (seeds are depth 0; a page's depth is the min depth of
+    # the edges that discovered it). Bounds calendar-trap style infinite
+    # link chains.
+    max_depth: int = 0
+    # sitemap_discovery: bootstrap extra wave-0 seeds from each entry
+    # host's robots.txt `Sitemap:` directives (sources/sitemap.py) —
+    # discovered URLs enter the frontier as ordinary seeds with the
+    # sitemap's priority mapped onto the engine's ascending scale.
+    sitemap_discovery: bool = False
+    # max_pages_per_host: lifetime cap on fetch ATTEMPTS issued to one
+    # host (every eligible unit counts — miss/not_allowed/too_large/ok
+    # alike: the request was made). While a host retains allowance,
+    # over-budget units defer as usual; once the allowance hits zero the
+    # host's queued units are DROPPED (outcome 'host_capped') so the
+    # frontier drains and idle-stop still fires. Bounds infinite
+    # auto-generated sites.
+    max_pages_per_host: int = 0
     # --- reference worker-model knobs (crawler.go:53-62), mapped onto the
     # wave model. worker_count (goroutine count) is a parallelism hint: it
     # RAISES the fetch-stage partition count floor (never caps it below the
@@ -163,6 +182,9 @@ _TOML_KEYS = {
     "politeness-budget": "politeness_budget",
     "rank-priority-every": "rank_priority_every",
     "max-waves": "max_waves",
+    "max-depth": "max_depth",
+    "max-pages-per-host": "max_pages_per_host",
+    "sitemap-discovery": "sitemap_discovery",
     "fetch-partitions": "fetch_partitions",
 }
 

@@ -43,9 +43,24 @@ def apply_politeness(
     budgets: DataFrame | None,
     default_budget: int,
     num_salts: int = 8,
+    host_counts: DataFrame | None = None,
+    max_pages_per_host: int = 0,
 ) -> DataFrame:
-    """Tag fetch units with ``_eligible`` (bool). ``units`` must carry
-    ``host``, ``unit_priority``, ``url_norm``; one row per url_norm."""
+    """Tag fetch units with ``_eligible`` and ``_host_capped`` (bool).
+    ``units`` must carry ``host``, ``unit_priority``, ``url_norm``; one
+    row per url_norm.
+
+    Trap guard (``max_pages_per_host`` > 0): ``host_counts`` is the
+    cumulative ``(host, _taken)`` table of fetch attempts from prior
+    waves. A host's per-wave allowance becomes ``least(budget,
+    cap - taken)``; while allowance remains positive, over-allowance
+    units defer exactly as over-budget units do, and once the allowance
+    is exhausted every queued unit on that host is tagged
+    ``_host_capped`` — the caller drops those from the next frontier so
+    an infinite auto-generated site cannot pin the crawl. host_counts
+    has one row per host that has ever been fetched — it rides a
+    broadcast join, same as the robots budget table.
+    """
     if budgets is not None:
         units = units.join(F.broadcast(budgets), "host", "left")
         units = units.withColumn(
@@ -53,6 +68,24 @@ def apply_politeness(
         )
     else:
         units = units.withColumn("_budget", F.lit(default_budget))
+
+    if max_pages_per_host > 0:
+        if host_counts is not None:
+            units = units.join(F.broadcast(host_counts), "host", "left")
+            remaining = F.greatest(
+                F.lit(max_pages_per_host) - F.coalesce("_taken", F.lit(0)),
+                F.lit(0),
+            )
+        else:
+            remaining = F.lit(max_pages_per_host)
+        units = (
+            units.withColumn("_remaining", remaining)
+            .withColumn("_budget", F.least("_budget", F.col("_remaining")))
+            .withColumn("_host_capped", F.col("_remaining") == 0)
+            .drop("_taken", "_remaining")
+        )
+    else:
+        units = units.withColumn("_host_capped", F.lit(False))
 
     salt = F.pmod(F.xxhash64("url_norm"), F.lit(num_salts)).cast("int")
     w1 = Window.partitionBy("host", salt).orderBy("unit_priority", "url_norm")

@@ -137,3 +137,36 @@ def parse_robots_txt(
     return rules.join(delays, "host", "left").select(
         "host", "rule", "path_prefix", "crawl_delay_budget"
     )
+
+
+def sitemap_urls(robots_bodies: DataFrame) -> DataFrame:
+    """``(host, body)`` → distinct ``(host, sitemap_url)`` rows.
+
+    ``Sitemap:`` is a HOST-level REP directive: it applies regardless of
+    which user-agent group surrounds it (sitemaps.org "Informing search
+    engine crawlers"), so unlike Allow/Disallow it is extracted with no
+    group bookkeeping at all — field match + value, comments stripped,
+    CRLF tolerated, case-insensitive field name. The value is required
+    to be an absolute URL by the spec; relative values are passed
+    through untouched for the caller's fetch layer to reject (the
+    engine's malformed-URL gate, plans/crawl.py C7).
+
+    Feeds ``sources/sitemap.py``: fetch these URLs like any page, then
+    ``sitemap_seeds`` turns the bodies into frontier entries.
+    """
+    lines = robots_bodies.select(
+        "host", F.explode(F.split(F.col("body"), "\n")).alias("line")
+    )
+    lines = lines.withColumn(
+        "line",
+        F.trim(F.regexp_replace(F.regexp_replace("line", "#.*$", ""), "\r", "")),
+    ).filter(F.col("line") != "")
+    return (
+        lines.withColumn(
+            "field", F.lower(F.trim(F.regexp_extract("line", "^([^:]+):", 1)))
+        )
+        .withColumn("value", F.trim(F.regexp_extract("line", "^[^:]+:(.*)$", 1)))
+        .filter((F.col("field") == "sitemap") & (F.col("value") != ""))
+        .select("host", F.col("value").alias("sitemap_url"))
+        .distinct()
+    )

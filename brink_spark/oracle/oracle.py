@@ -64,6 +64,9 @@ class Edge(NamedTuple):
     linked_from: str
     url: str
     priority: int
+    # link-hop distance from the seed set (seeds 0); powers the max_depth
+    # trap guard. Defaulted so pre-guard call sites stay valid.
+    depth: int = 0
 
 
 class HandlerRow(NamedTuple):
@@ -177,6 +180,10 @@ def crawl_oracle(fixture: SiteFixture, config: Optional[CrawlConfig] = None) -> 
     frontier: list[Edge] = [Edge("start", s["url"], s["priority"]) for s in fixture.seeds]
     wave = 0
     rank_every = config.rank_priority_every
+    # max_pages_per_host trap guard: lifetime fetch-attempt counts per host
+    # (every eligible unit is an attempt — miss/not_allowed/too_large/ok
+    # alike). Wave N's gating sees only waves < N, same as the engine.
+    host_taken: dict[str, int] = {}
 
     while frontier and wave < config.max_waves:
         # PageRank -> priority closed loop (engine: _reprioritize_frontier):
@@ -191,13 +198,14 @@ def crawl_oracle(fixture: SiteFixture, config: Optional[CrawlConfig] = None) -> 
                 src = normalize_url(e.linked_from, ignored, fuzzy)
                 if src is not None and src in rank_map:
                     p = -min(rank_map[src] // RANK_BUCKET_DIV, RANK_BUCKET_CAP)
-                    restamped.append(Edge(e.linked_from, e.url, p))
+                    restamped.append(Edge(e.linked_from, e.url, p, e.depth))
                 else:
                     restamped.append(e)
             frontier = restamped
         m = dict(wave=wave, n_frontier=len(frontier), n_malformed=0, n_cached=0,
                  n_units=0, n_robots_denied=0, n_deferred=0, n_fetched=0,
-                 n_miss=0, n_not_allowed=0, n_too_large=0, n_ok=0, n_new_links=0)
+                 n_miss=0, n_not_allowed=0, n_too_large=0, n_ok=0, n_new_links=0,
+                 n_host_capped=0, n_depth_capped=0)
 
         # 1. normalize + drop malformed (C7)
         normed: list[tuple[Edge, str]] = []
@@ -243,18 +251,31 @@ def crawl_oracle(fixture: SiteFixture, config: Optional[CrawlConfig] = None) -> 
                 continue
             admitted.append((prio, host, un, edges))
 
-        # 5. politeness budget per host (north_rule extension)
+        # 5. politeness budget per host (north_rule extension) + the
+        # max_pages_per_host trap guard: the lifetime allowance clips the
+        # per-wave budget; a host whose allowance was already exhausted by
+        # PRIOR waves drops its queued units outright (edges vanish, so
+        # the frontier drains and idle-stop still fires)
         admitted.sort(key=lambda t: (t[0], t[2]))  # (priority, url_norm) within host
+        cap = config.max_pages_per_host
         taken: dict[str, int] = {}
         eligible, deferred_edges = [], []
         for prio, host, un, edges in admitted:
             budget = budgets.get(host, config.politeness_budget)
+            if cap > 0:
+                remaining = cap - host_taken.get(host, 0)
+                if remaining <= 0:
+                    m["n_host_capped"] += 1
+                    continue  # dropped, not deferred
+                budget = min(budget, remaining)
             if taken.get(host, 0) < budget:
                 taken[host] = taken.get(host, 0) + 1
                 eligible.append((prio, host, un, edges))
             else:
                 deferred_edges.extend(edges)
                 m["n_deferred"] += 1
+        for h, n in taken.items():  # visible from wave+1 on
+            host_taken[h] = host_taken.get(h, 0) + n
 
         # 6. fetch in crawl order (the ordering contract)
         eligible.sort(key=lambda t: (t[0], t[1], t[2]))
@@ -310,6 +331,9 @@ def crawl_oracle(fixture: SiteFixture, config: Optional[CrawlConfig] = None) -> 
             if base is None:  # AbsoluteLinksIn error → no links (brink.go:117-122)
                 continue
             bscheme, bhost = base
+            # a child sits one hop beyond its unit; the unit's depth is the
+            # MIN over its discovering edges (engine: min window over url_norm)
+            child_depth = min(e.depth for e in edges) + 1
             for raw in link_hrefs(page.spans):
                 if raw == "javascript:;" or raw.startswith("#"):
                     continue
@@ -317,7 +341,10 @@ def crawl_oracle(fixture: SiteFixture, config: Optional[CrawlConfig] = None) -> 
                 resolved = resolve_href(href, bscheme, bhost)
                 if resolved == "":
                     continue
-                new_edges.append(Edge(first.url, resolved, prio))
+                if config.max_depth > 0 and child_depth > config.max_depth:
+                    m["n_depth_capped"] += 1
+                    continue
+                new_edges.append(Edge(first.url, resolved, prio, child_depth))
                 m["n_new_links"] += 1
 
         # response-cookie merge, sorted(url_norm) — the same deterministic

@@ -70,7 +70,9 @@ def compare_engine_oracle(
         [
             (r["wave"], r["url_norm"])
             for r in flog.filter(
-                ~F.col("outcome").isin("robots_denied", "deferred")
+                ~F.col("outcome").isin(
+                    "robots_denied", "deferred", "host_capped"
+                )
             )
             .orderBy("wave", "priority", "host", "url_norm")
             .collect()

@@ -66,8 +66,24 @@ FRONTIER_SCHEMA = StructType(
         StructField("linked_from", StringType()),
         StructField("url", StringType()),
         StructField("priority", IntegerType()),
+        # link-hop distance from the seed set (seeds 0; a page's depth is
+        # the min depth over its discovering edges). Powers the max_depth
+        # trap guard; carried even when the guard is off.
+        StructField("depth", IntegerType()),
     ]
 )
+
+
+def _with_depth(frontier: DataFrame) -> DataFrame:
+    """Back-compat: frontier tables written before the depth column
+    existed (old stores resumed with a new engine) read as depth 0."""
+    if "depth" in frontier.columns:
+        # streaming batches read with the full schema can carry nulls for
+        # files written before the column existed
+        return frontier.withColumn(
+            "depth", F.coalesce("depth", F.lit(0)).cast("int")
+        )
+    return frontier.withColumn("depth", F.lit(0))
 
 @dataclass
 class CrawlSummary:
@@ -130,6 +146,11 @@ class CrawlEngine:
             )
         self._rules = robots_rules_per_host(robots) if robots is not None else None
         self._budgets = budget_per_host(robots, config.politeness_budget)
+        # cumulative (host, _taken) fetch-attempt counts — the
+        # max_pages_per_host trap-guard state. None until the first wave
+        # fetches (or rebuilt from committed fetchlog on resume); stays
+        # None forever when the guard is off.
+        self._host_taken: DataFrame | None = None
         # shared cookie jar (reference brink.go:267-274): response cookies
         # merge in by name, overwriting. Wave-discretized semantics: cookies
         # set by pages fetched in wave K apply to requests from wave K+1 on.
@@ -192,6 +213,7 @@ class CrawlEngine:
             F.lit("start").alias("linked_from"),
             F.col("url"),
             F.col("priority").cast("int").alias("priority"),
+            F.lit(0).alias("depth"),
         )
         obs = Observation("seed_frontier")
         frontier0 = frontier0.observe(obs, F.count(F.lit(1)).alias("n"))
@@ -253,8 +275,31 @@ class CrawlEngine:
         manifest = self.store.read_manifest() if resume else None
         if manifest is None:
             self.store.reset()
+            self._host_taken = None  # engine reuse: fresh run, fresh counts
             if seeds is None:
                 raise ValueError("fresh run requires seeds")
+            # sitemap bootstrap: each entry host's robots.txt `Sitemap:`
+            # lines resolve to sitemap XML in the pages table; parsed URLs
+            # join wave 0 as ordinary seeds (their mapped priority decides
+            # fetch order). The entry list collect is bounded: seed lists
+            # are human-provided config, never corpus-sized.
+            if self.config.sitemap_discovery and self.pages is not None:
+                from brink_spark.sources.sitemap import discover_sitemap_seeds
+
+                entry = [r["url"] for r in seeds.select("url").collect()]
+                disc = discover_sitemap_seeds(
+                    self.pages,
+                    entry,
+                    self.norm_udf,
+                    self.config.ignore_get_parameters,
+                    self.config.fuzzy_get_parameter_checks,
+                )
+                seeds = (
+                    seeds.select("url", F.col("priority").cast("int"))
+                    .unionByName(
+                        disc.select("url", F.col("priority").cast("int"))
+                    )
+                )
             self.seed_frontier(seeds)
             manifest = Manifest()
             wave = 0
@@ -264,6 +309,27 @@ class CrawlEngine:
             # any carried frontier count may describe a wave the crash threw
             # away — recount once from parquet instead
             self._pending_frontier_count = None
+            # rebuild the host-cap attempt counts from COMMITTED fetchlog
+            # waves (attempts = the four fetch outcomes; robots_denied /
+            # deferred / host_capped rows were never requests). Overwrites
+            # any in-memory state from a crashed in-process run.
+            if self.config.max_pages_per_host > 0:
+                if manifest.last_wave >= 0:
+                    self._host_taken = (
+                        self.store.read_asof(
+                            self.spark, "fetchlog", manifest.last_wave
+                        )
+                        .filter(
+                            F.col("outcome").isin(
+                                "miss", "not_allowed", "too_large", "ok"
+                            )
+                        )
+                        .groupBy("host")
+                        .agg(F.count(F.lit(1)).alias("_taken"))
+                        .localCheckpoint(eager=True)
+                    )
+                else:
+                    self._host_taken = None
             # restore the runtime request state committed with the last wave
             # (cookies from committed waves survive a crash; the suppressed
             # Authorization header stays suppressed). Pre-jar manifests
@@ -280,11 +346,12 @@ class CrawlEngine:
                     F.lit("start").alias("linked_from"),
                     F.col("url"),
                     F.col("priority").cast("int").alias("priority"),
+                    F.lit(0).alias("depth"),
                 )
                 if self.store.has("frontier", wave):
-                    existing = self.store.read(self.spark, "frontier", wave).select(
-                        "linked_from", "url", "priority"
-                    )
+                    existing = _with_depth(
+                        self.store.read(self.spark, "frontier", wave)
+                    ).select("linked_from", "url", "priority", "depth")
                     extra = existing.unionByName(extra)
                 self.store.rewrite(extra, "frontier", wave)
 
@@ -588,6 +655,7 @@ class CrawlEngine:
                 "linked_from",
                 "url",
                 F.coalesce("_rank_prio", F.col("priority")).cast("int").alias("priority"),
+                "depth",
             )
         )
 
@@ -652,7 +720,7 @@ class CrawlEngine:
         """
         spark, store, cfg = self.spark, self.store, self.config
         frontier = self._reprioritize_frontier(
-            wave, store.read(spark, "frontier", wave)
+            wave, _with_depth(store.read(spark, "frontier", wave))
         )
         m = dict(wave=wave)
 
@@ -668,6 +736,7 @@ class CrawlEngine:
             "linked_from",
             "url",
             "priority",
+            "depth",
             F.col("_p.url_norm").alias("url_norm"),
             F.col("_p.scheme").alias("scheme"),
             F.col("_p.host").alias("host"),
@@ -703,8 +772,12 @@ class CrawlEngine:
         # rank edges within their unit; first edge wins the fetch
         we = Window.partitionBy("url_norm").orderBy("priority", "linked_from", "url")
         wu = Window.partitionBy("url_norm")
-        fresh = fresh.withColumn("_edge_rank", F.row_number().over(we)).withColumn(
-            "unit_priority", F.min("priority").over(wu)
+        fresh = (
+            fresh.withColumn("_edge_rank", F.row_number().over(we))
+            .withColumn("unit_priority", F.min("priority").over(wu))
+            # a page's depth is the MIN over its discovering edges (same
+            # window — no extra shuffle)
+            .withColumn("unit_depth", F.min("depth").over(wu))
         )
         units = with_robots_denied(fresh.filter(F.col("_edge_rank") == 1), self._rules)
         polite = apply_politeness(
@@ -712,14 +785,19 @@ class CrawlEngine:
             self._budgets,
             cfg.politeness_budget,
             cfg.politeness_salts,
+            host_counts=self._host_taken,
+            max_pages_per_host=cfg.max_pages_per_host,
         )
         unit_flags = units.select("url_norm", "_robots_denied").join(
-            polite.select("url_norm", "_eligible"), "url_norm", "left"
+            polite.select("url_norm", "_eligible", "_host_capped"),
+            "url_norm",
+            "left",
         )
         fresh_flagged = fresh.join(unit_flags, "url_norm", "left").select(
             "linked_from",
             "url",
             "priority",
+            "depth",
             "url_norm",
             "scheme",
             "host",
@@ -728,8 +806,10 @@ class CrawlEngine:
             "base_host",
             "_edge_rank",
             "unit_priority",
+            "unit_depth",
             F.coalesce("_robots_denied", F.lit(False)).alias("robots_denied"),
             F.coalesce("_eligible", F.lit(False)).alias("eligible"),
+            F.coalesce("_host_capped", F.lit(False)).alias("host_capped"),
             F.lit("fresh").alias("edge_kind"),
             F.lit(None).cast("int").alias("seen_status"),
         )
@@ -737,6 +817,7 @@ class CrawlEngine:
             "linked_from",
             "url",
             "priority",
+            "depth",
             "url_norm",
             "scheme",
             "host",
@@ -745,8 +826,10 @@ class CrawlEngine:
             "base_host",
             F.lit(0).alias("_edge_rank"),
             F.col("priority").alias("unit_priority"),
+            F.col("depth").alias("unit_depth"),
             F.lit(False).alias("robots_denied"),
             F.lit(False).alias("eligible"),
+            F.lit(False).alias("host_capped"),
             F.lit("seen").alias("edge_kind"),
             F.col("status").cast("int").alias("seen_status"),
         )
@@ -841,6 +924,7 @@ class CrawlEngine:
             "linked_from",
             "url",
             "priority",
+            "depth",
             "url_norm",
             "scheme",
             "host",
@@ -849,8 +933,10 @@ class CrawlEngine:
             "base_host",
             "_edge_rank",
             "unit_priority",
+            "unit_depth",
             "robots_denied",
             "eligible",
+            "host_capped",
             "edge_kind",
             "seen_status",
             "outcome",
@@ -865,6 +951,7 @@ class CrawlEngine:
             F.count_if(_fresh1).alias("n_units"),
             F.count_if(_fresh1 & F.col("robots_denied")).alias("n_robots_denied"),
             F.count_if(_fresh1 & F.col("eligible")).alias("n_eligible"),
+            F.count_if(_fresh1 & F.col("host_capped")).alias("n_host_capped"),
             F.count_if(F.col("outcome") == "miss").alias("n_miss"),
             F.count_if(F.col("outcome") == "not_allowed").alias("n_not_allowed"),
             F.count_if(F.col("outcome") == "too_large").alias("n_too_large"),
@@ -878,7 +965,13 @@ class CrawlEngine:
         m["n_cached"] = ec["n_cached"]
         m["n_units"] = ec["n_units"]
         m["n_robots_denied"] = ec["n_robots_denied"]
-        m["n_deferred"] = ec["n_units"] - ec["n_robots_denied"] - ec["n_eligible"]
+        m["n_host_capped"] = ec["n_host_capped"]
+        m["n_deferred"] = (
+            ec["n_units"]
+            - ec["n_robots_denied"]
+            - ec["n_eligible"]
+            - ec["n_host_capped"]
+        )
         # malformed = frontier rows minus all surviving edges
         m["n_malformed"] = n_frontier - ec["n_edges"]
         m["n_miss"] = ec["n_miss"]
@@ -888,6 +981,27 @@ class CrawlEngine:
         m["n_fetched"] = (
             ec["n_miss"] + ec["n_not_allowed"] + ec["n_too_large"] + ec["n_ok"]
         )
+
+        # lifetime per-host attempt counts (max_pages_per_host trap guard):
+        # every outcome-bearing row was a fetch ATTEMPT; fold this wave's
+        # per-host counts into the cumulative table. One tiny agg job over
+        # the already-materialized scratch parquet, localCheckpoint-ed so
+        # the table never re-derives prior waves (and so wave N+1's
+        # politeness join broadcasts a concrete relation). Only paid when
+        # the guard is on.
+        if cfg.max_pages_per_host > 0:
+            with self._phase("host-taken"):
+                wave_taken = fetchpage.groupBy("host").agg(
+                    F.count(F.lit(1)).alias("_taken")
+                )
+                merged = (
+                    wave_taken
+                    if self._host_taken is None
+                    else self._host_taken.unionByName(wave_taken)
+                    .groupBy("host")
+                    .agg(F.sum("_taken").alias("_taken"))
+                )
+                self._host_taken = merged.localCheckpoint(eager=True)
 
         # response-cookie accumulation (brink.go:199-204): the reference
         # merges resp.Cookies() BEFORE the domain-allowed and content-length
@@ -935,7 +1049,9 @@ class CrawlEngine:
         # triple-union paid an extra scan + union for the same rows)
         edge_log = log_cols(
             edges.filter(_fresh1 & (F.col("robots_denied") | ~F.col("eligible"))),
-            F.when(F.col("robots_denied"), "robots_denied").otherwise("deferred"),
+            F.when(F.col("robots_denied"), "robots_denied")
+            .when(F.col("host_capped"), "host_capped")
+            .otherwise("deferred"),
             F.lit(-1),
         )
         fetchlog_out = log_cols(
@@ -991,6 +1107,7 @@ class CrawlEngine:
                 F.col("url").alias("_parent_url"),
                 F.col("url_norm").alias("_parent_norm"),
                 "unit_priority",
+                "unit_depth",
                 "base_scheme",
                 "base_host",
                 F.explode(
@@ -1001,6 +1118,7 @@ class CrawlEngine:
                 "_parent_url",
                 "_parent_norm",
                 "unit_priority",
+                "unit_depth",
                 "base_scheme",
                 "base_host",
                 F.coalesce(F.col("_s.text"), F.lit("")).alias("_raw"),
@@ -1033,19 +1151,41 @@ class CrawlEngine:
             F.col("_parent_url").alias("linked_from"),
             F.col("_resolved").alias("url"),
             F.col("unit_priority").alias("priority"),
+            # a child sits one link-hop beyond the unit that discovered it
+            (F.col("unit_depth") + F.lit(1)).alias("depth"),
         )
         deferred_edges = edges.filter(
-            (F.col("edge_kind") == "fresh") & ~F.col("eligible") & ~F.col("robots_denied")
-        ).select("linked_from", "url", "priority")
+            (F.col("edge_kind") == "fresh")
+            & ~F.col("eligible")
+            & ~F.col("robots_denied")
+            # host_capped units DROP (fetchlog records them); deferring
+            # them would pin an infinite auto-generated site forever
+            & ~F.col("host_capped")
+        ).select("linked_from", "url", "priority", "depth")
         obs_next = Observation(f"w{wave}_frontier_next")
+        # depth trap guard (max_depth > 0): outlinks beyond the link-hop
+        # budget are counted then dropped BEFORE the frontier write. The
+        # filter sits above the CollectMetrics node (Catalyst does not push
+        # predicates through it), so n_depth_capped counts the dropped rows.
+        _depth_capped = (
+            (F.lit(cfg.max_depth) > 0) & (F.col("depth") > cfg.max_depth)
+            if cfg.max_depth > 0
+            else F.lit(False)
+        )
         frontier_next = (
             deferred_edges.withColumn("deferred", F.lit(True))
             .unionByName(new_edges.withColumn("deferred", F.lit(False)))
+            .withColumn("_depth_capped", _depth_capped)
             .observe(
                 obs_next,
-                F.count(F.lit(1)).alias("n_next"),
-                F.count_if(~F.col("deferred")).alias("n_new_links"),
+                F.count_if(~F.col("_depth_capped")).alias("n_next"),
+                F.count_if(~F.col("deferred") & ~F.col("_depth_capped")).alias(
+                    "n_new_links"
+                ),
+                F.count_if(F.col("_depth_capped")).alias("n_depth_capped"),
             )
+            .filter(~F.col("_depth_capped"))
+            .drop("_depth_capped")
         )
         # --- commit all output tables concurrently ---------------------------
         # fetchlog / visited->bloom / results / frontier (+ the lineage
@@ -1117,6 +1257,7 @@ class CrawlEngine:
         nx = obs_next.get
         self._pending_frontier_count = nx["n_next"]
         m["n_new_links"] = nx["n_new_links"]
+        m["n_depth_capped"] = nx["n_depth_capped"]
 
         def finish():
             # remaining writes + metrics/lineage (A5); the caller commits

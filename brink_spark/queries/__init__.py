@@ -36,6 +36,7 @@ _NEED_DRIVER_ROW = [
     "events_hopping",
     "events_retention",
     "supplier_market_share",
+    "sitemap_seeds",
 ]
 
 _MERGED: dict = {**RELATIONAL_QUERIES, **PIPELINE_QUERIES}

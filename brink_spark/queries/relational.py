@@ -485,6 +485,69 @@ SELECT host, url_norm, priority, rn FROM ranked WHERE rn <= 10
 """
 
 
+def q_sitemap_seeds(spark, sf):
+    """Sitemap seed source under the hard driver gate: synthesize
+    per-host sitemaps.org XML bodies from `customer` (deterministic —
+    host = site{c_nationkey%5}.example, one <url> block per customer,
+    <priority> tag present only when c_custkey%3==0, loc carries an
+    &amp;-escaped query string), then run them through the REAL parser
+    (sources/sitemap.py: regexp block extract → entity unescape →
+    priority → engine-priority mapping). The oracle never parses XML —
+    generation is deterministic, so DuckDB states what the parse MUST
+    produce; any parser drift flips the hash. All-Catalyst: zero Python
+    on either the generate or parse side."""
+    from brink_spark.sources.sitemap import sitemap_seeds
+
+    c = _t(spark, sf, "customer")
+    k = F.pmod("c_custkey", F.lit(11))
+    prio_txt = F.when(
+        F.pmod("c_custkey", F.lit(3)) == 0,
+        F.concat(
+            F.lit("<priority>"),
+            F.when(k == 10, F.lit("1.0")).otherwise(
+                F.concat(F.lit("0."), k.cast("string"))
+            ),
+            F.lit("</priority>"),
+        ),
+    ).otherwise(F.lit(""))
+    host = F.concat(
+        F.lit("site"), F.pmod("c_nationkey", F.lit(5)).cast("string"), F.lit(".example")
+    )
+    block = F.concat(
+        F.lit("<url><loc> https://"),
+        host,
+        F.lit("/c/"),
+        F.col("c_custkey").cast("string"),
+        F.lit("?a=1&amp;b=2 </loc>"),
+        prio_txt,
+        F.lit("</url>"),
+    )
+    bodies = (
+        c.select(host.alias("host"), block.alias("_block"))
+        .groupBy("host")
+        .agg(
+            F.concat(
+                F.lit('<?xml version="1.0"?><urlset>'),
+                F.concat_ws("", F.collect_list("_block")),
+                F.lit("</urlset>"),
+            ).alias("body")
+        )
+    )
+    return sitemap_seeds(bodies)
+
+
+# generation is deterministic → the oracle states the parse result
+# directly: unescaped+trimmed loc, engine priority 100-10k for tagged
+# blocks (round((1-0.k)*100) is exactly that integer), default 50 else.
+SQL_SITEMAP_SEEDS = """
+SELECT 'https://site' || CAST(c_nationkey % 5 AS VARCHAR) || '.example/c/'
+         || CAST(c_custkey AS VARCHAR) || '?a=1&b=2' AS url,
+       CAST(CASE WHEN c_custkey % 3 = 0 THEN 100 - 10 * (c_custkey % 11)
+                 ELSE 50 END AS INT) AS priority
+FROM customer
+"""
+
+
 def q_graph_pagerank(spark, sf):
     """Iterative graph algorithm under the hard driver gate: 3 unrolled
     PageRank iterations over a deterministic link graph synthesized from
@@ -1941,6 +2004,7 @@ RELATIONAL_QUERIES = {
     "frontier_anti_join": (q_frontier_anti_join, SQL_FRONTIER_ANTI),
     "cached_dispatch": (q_cached_dispatch, SQL_CACHED),
     "politeness_topk": (q_politeness_topk, SQL_POLITENESS),
+    "sitemap_seeds": (q_sitemap_seeds, SQL_SITEMAP_SEEDS),
     "graph_pagerank": (q_graph_pagerank, SQL_PAGERANK),
     "graph_components": (q_graph_components, SQL_COMPONENTS),
     "volume_shipping": (q_volume_shipping, SQL_VOLUME_SHIPPING),

@@ -43,6 +43,7 @@ class StreamingCrawl:
             F.lit("start").alias("linked_from"),
             "url",
             F.col("priority").cast("int").alias("priority"),
+            F.lit(0).alias("depth"),
         ).write.mode("append").parquet(self.in_dir)
 
     def _process_batch(self, batch_df, batch_id: int) -> None:
@@ -54,7 +55,15 @@ class StreamingCrawl:
         # the batch IS this wave's frontier; stage it so the standard wave
         # runs unchanged (writes are the checkpoint, as in the batch loop)
         store.write(
-            batch_df.select("linked_from", "url", "priority"), "frontier", wave
+            batch_df.select(
+                "linked_from",
+                "url",
+                "priority",
+                # files staged before the depth column existed read as null
+                F.coalesce("depth", F.lit(0)).cast("int").alias("depth"),
+            ),
+            "frontier",
+            wave,
         )
         # the staged batch is NOT the frontier the engine last observed: a
         # late seed batch arriving after the stream drained would otherwise
@@ -72,7 +81,7 @@ class StreamingCrawl:
         # feed the next frontier (new links + politeness-deferred edges)
         nxt = store.read(batch_df.sparkSession, "frontier", wave + 1)
         if nxt.limit(1).count() > 0:
-            nxt.select("linked_from", "url", "priority").write.mode(
+            nxt.select("linked_from", "url", "priority", "depth").write.mode(
                 "append"
             ).parquet(self.in_dir)
 
