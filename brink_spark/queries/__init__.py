@@ -37,6 +37,10 @@ _NEED_DRIVER_ROW = [
     "events_retention",
     "supplier_market_share",
     "sitemap_seeds",
+    "graph_hits",
+    "events_session_window",
+    "events_pivot",
+    "events_cube",
 ]
 
 _MERGED: dict = {**RELATIONAL_QUERIES, **PIPELINE_QUERIES}

@@ -667,6 +667,192 @@ SELECT lbl AS component, COUNT(*) AS n_nodes FROM l4 GROUP BY lbl
 """
 
 
+def q_graph_hits(spark, sf):
+    """HITS hubs/authorities (Kleinberg) — the third classic link-analysis
+    kernel next to PageRank and connected components, 2 unrolled
+    mutual-reinforcement rounds, all-integer (no normalization: fixed
+    rounds keep magnitudes bounded and both engines bit-exact). Graph:
+    src = event_id%997 -> dst = (event_id*7+13)%499 — the differing
+    moduli make in/out degrees data-dependent (a single-modulus graph
+    is a permutation: perfectly regular, every score equal — useless as
+    a test). At scale each half-round is one shuffle on the join key,
+    the same topology as a PageRank round; lineage cuts are unnecessary
+    at 2 fixed rounds (plan depth is constant)."""
+    e = _t(spark, sf, "events")
+    edges = e.select(
+        F.pmod("event_id", F.lit(997)).alias("src"),
+        F.pmod(F.col("event_id") * 7 + 13, F.lit(499)).alias("dst"),
+    ).distinct()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # h0 = 1000 everywhere; auth(t) = Σ hub(s) over s->t; hub(s) = Σ auth(t)
+    a1 = edges.groupBy("dst").agg(
+        (F.count(F.lit(1)) * 1000).cast("bigint").alias("a1")
+    )
+    h1 = (
+        edges.join(a1, "dst")
+        .groupBy("src")
+        .agg(F.sum("a1").alias("h1"))
+    )
+    a2 = (
+        edges.join(h1, "src")
+        .groupBy("dst")
+        .agg(F.sum("h1").alias("a2"))
+    )
+    return (
+        nodes.join(h1.withColumnRenamed("src", "node"), "node", "left")
+        .join(a2.withColumnRenamed("dst", "node"), "node", "left")
+        .select(
+            "node",
+            F.coalesce("h1", F.lit(0)).cast("bigint").alias("hub_score"),
+            F.coalesce("a2", F.lit(0)).cast("bigint").alias("auth_score"),
+        )
+    )
+
+
+SQL_GRAPH_HITS = """
+WITH edges AS (
+  SELECT DISTINCT event_id % 997 AS src, (event_id * 7 + 13) % 499 AS dst
+  FROM events),
+nodes AS (SELECT DISTINCT src AS node FROM edges
+          UNION SELECT DISTINCT dst FROM edges),
+a1 AS (SELECT dst, CAST(COUNT(*) * 1000 AS BIGINT) AS a1 FROM edges GROUP BY dst),
+h1 AS (SELECT e.src, CAST(SUM(a.a1) AS BIGINT) AS h1
+       FROM edges e JOIN a1 a ON a.dst = e.dst GROUP BY e.src),
+a2 AS (SELECT e.dst, CAST(SUM(h.h1) AS BIGINT) AS a2
+       FROM edges e JOIN h1 h ON h.src = e.src GROUP BY e.dst)
+SELECT n.node,
+       CAST(COALESCE(h.h1, 0) AS BIGINT) AS hub_score,
+       CAST(COALESCE(a.a2, 0) AS BIGINT) AS auth_score
+FROM nodes n
+LEFT JOIN h1 h ON h.src = n.node
+LEFT JOIN a2 a ON a.dst = n.node
+"""
+
+
+def q_events_session_window(spark, sf):
+    """NATIVE gap-based session windows (F.session_window, the streaming-
+    capable operator) in batch: 30-minute inactivity gap per user, then
+    per-user session stats. Boundary rule: session end = last event +
+    gap, intervals half-open — an event exactly `gap` after the last one
+    STARTS A NEW SESSION (diff >= 1800), which is what the lag-gap
+    oracle states with >=. (The sibling `events_sessionize` pins the
+    hand-rolled lag+cumsum form with a > boundary; testdata has no
+    exact-1800 gaps, but the rules are documented separately on
+    purpose.) One shuffle on user_id; session merge is map-side within
+    the aggregation — the same plan shape Structured Streaming runs
+    incrementally."""
+    e = _t(spark, sf, "events")
+    per_session = e.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("w")
+    ).agg(F.count(F.lit(1)).alias("n_ev"))
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_ev").alias("max_session_events"),
+        F.sum("n_ev").alias("n_events"),
+    )
+
+
+SQL_SESSION_WINDOW = """
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   THEN 1
+              WHEN FLOOR(epoch(ts)) - FLOOR(epoch(LAG(ts) OVER
+                   (PARTITION BY user_id ORDER BY ts))) >= 1800 THEN 1
+              ELSE 0 END AS new_session
+  FROM events),
+sess AS (
+  SELECT user_id,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
+  FROM gaps),
+per_session AS (
+  SELECT user_id, session_id, COUNT(*) AS n_ev
+  FROM sess GROUP BY user_id, session_id)
+SELECT user_id, COUNT(*) AS n_sessions,
+       CAST(MAX(n_ev) AS BIGINT) AS max_session_events,
+       CAST(SUM(n_ev) AS BIGINT) AS n_events
+FROM per_session GROUP BY user_id
+"""
+
+
+def q_events_pivot(spark, sf):
+    """Relational PIVOT: per-user event counts spread into one column per
+    event type (the reshape every analytics export runs). The pivot
+    values are LISTED explicitly — with an explicit list Spark skips the
+    extra distinct-scan JOB (an eager collect before planning, the real
+    scale hazard) and plans a two-level aggregate: partial counts per
+    (user_id, event_type) collapse map-side before either exchange, then
+    pivotfirst spreads ≤5 rows per user into columns. Output width is
+    fixed by the enum, not the data."""
+    e = _t(spark, sf, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(k), F.lit(0)).cast("bigint").alias(f"n_{k}")
+            for k in kinds
+        ],
+    )
+
+
+SQL_EVENTS_PIVOT = """
+SELECT user_id,
+       CAST(COUNT(*) FILTER (event_type = 'click')    AS BIGINT) AS n_click,
+       CAST(COUNT(*) FILTER (event_type = 'error')    AS BIGINT) AS n_error,
+       CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(COUNT(*) FILTER (event_type = 'signup')   AS BIGINT) AS n_signup,
+       CAST(COUNT(*) FILTER (event_type = 'view')     AS BIGINT) AS n_view
+FROM events GROUP BY user_id
+"""
+
+
+def q_events_cube(spark, sf):
+    """CUBE grouping sets (the ROLLUP sibling, all 4 subtotal combos over
+    (event_type, day-of-week)): count + exact scaled-integer value sum.
+    Spark expands the cube into grouping sets inside ONE aggregate
+    (partial agg still applies); null grouping markers are replaced with
+    sentinel labels so the hash compare is null-free on key columns."""
+    e = _t(spark, sf, "events").select(
+        "event_type",
+        F.dayofweek("ts").cast("int").alias("dow"),
+        F.round(F.col("value") * 100).cast("bigint").alias("v100"),
+    )
+    return (
+        e.cube("event_type", "dow")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v100").alias("total_value_x100"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("dow").cast("string"), F.lit("ALL")).alias("dow"),
+            "n",
+            "total_value_x100",
+        )
+    )
+
+
+SQL_EVENTS_CUBE = """
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(CAST(CAST(dayofweek(ts) + 1 AS INT) AS VARCHAR), 'ALL') AS dow,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+         AS total_value_x100
+FROM events GROUP BY CUBE (event_type, CAST(dayofweek(ts) + 1 AS INT))
+"""
+
+
 def q_volume_shipping(spark, sf):
     """TPC-H Q7 shape: bilateral nation-pair trade volume by year. Two
     nation dims joined under different roles (supplier vs customer) —
@@ -2007,6 +2193,10 @@ RELATIONAL_QUERIES = {
     "sitemap_seeds": (q_sitemap_seeds, SQL_SITEMAP_SEEDS),
     "graph_pagerank": (q_graph_pagerank, SQL_PAGERANK),
     "graph_components": (q_graph_components, SQL_COMPONENTS),
+    "graph_hits": (q_graph_hits, SQL_GRAPH_HITS),
+    "events_session_window": (q_events_session_window, SQL_SESSION_WINDOW),
+    "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),
+    "events_cube": (q_events_cube, SQL_EVENTS_CUBE),
     "volume_shipping": (q_volume_shipping, SQL_VOLUME_SHIPPING),
     "promo_effect": (q_promo_effect, SQL_PROMO_EFFECT),
     "top_supplier": (q_top_supplier, SQL_TOP_SUPPLIER),

@@ -209,3 +209,61 @@ def test_scalar_total_threshold_is_single_row_broadcast(spark):
     plan = _codegen(q_important_parts(spark, SF))
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_session_window_single_shuffle(spark):
+    """events_session_window: native session_window must plan as
+    MergingSessions over ONE user_id exchange — the follow-up per-user
+    rollup reuses the same partitioning (zero extra shuffles), and the
+    per-(user, session) count is partial before the exchange."""
+    from brink_spark.queries.relational import q_events_session_window
+
+    plan = _codegen(q_events_session_window(spark, SF))
+    assert "MergingSessions" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan
+    # the rollup above the exchange is also a fused partial+final pair, so
+    # check the DEEPEST partial (map-side combine) sits below the exchange
+    assert plan.rindex("partial_count") > plan.index("Exchange")
+
+
+def test_pivot_explicit_values_no_distinct_job(spark):
+    """events_pivot: explicit pivot values mean planning launches NO eager
+    distinct-scan job, and the physical plan is a two-level aggregate —
+    partial counts per (user, type) collapse map-side below the first
+    exchange, pivotfirst spreads at most |enum| rows per user above it."""
+    from brink_spark.queries.relational import q_events_pivot
+
+    df = q_events_pivot(spark, SF)
+    plan = _codegen(df)
+    assert "pivotfirst" in plan
+    assert "partial_pivotfirst" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Join" not in plan  # pivot must not decompose into self-joins
+
+
+def test_cube_is_expand_plus_single_aggregate(spark):
+    """events_cube: CUBE must plan as one Expand (4 grouping-set combos)
+    feeding ONE partial-then-final aggregate over ONE exchange — never one
+    scan+union per grouping set."""
+    from brink_spark.queries.relational import q_events_cube
+
+    plan = _codegen(q_events_cube(spark, SF))
+    assert "Expand" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("FileScan parquet") == 1  # single scan, not per-combo
+    assert "partial_sum" in plan
+    assert plan.index("partial_sum") > plan.index("Exchange")
+
+
+def test_hits_reads_one_column_no_cartesian(spark):
+    """graph_hits: both half-rounds join on the edge key (hash joins,
+    small score tables broadcast under AQE) — no cartesian/nested-loop
+    anywhere, and the events scan prunes to event_id only."""
+    from brink_spark.queries.relational import q_graph_hits
+
+    plan = _codegen(q_graph_hits(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "event_id" in read and "user_id" not in read and "value" not in read
