@@ -41,6 +41,9 @@ _NEED_DRIVER_ROW = [
     "events_session_window",
     "events_pivot",
     "events_cube",
+    "graph_triangles",
+    "basket_pairs",
+    "events_zscore_outliers",
 ]
 
 _MERGED: dict = {**RELATIONAL_QUERIES, **PIPELINE_QUERIES}

@@ -853,6 +853,175 @@ FROM events GROUP BY CUBE (event_type, CAST(dayofweek(ts) + 1 AS INT))
 """
 
 
+def q_graph_triangles(spark, sf):
+    """Triangle participation count per node with DEGREE-ORDERED edge
+    orientation — the standard skew-proof formulation (node-iterator++ /
+    Schank-Wagner; also how Cohen's MapReduce triangle paper and
+    GraphFrames' motif counting bound the join fan-out). Orienting every
+    undirected edge from its lower-(degree, id) endpoint to the higher
+    one caps each node's out-degree at O(sqrt(m)), so the wedge-building
+    self-join on the middle vertex cannot explode on a hub node — THE
+    failure mode of naive id-ordered triangle joins on power-law webs
+    (a 10^7-degree hub would otherwise build 10^14 wedges). Three hash
+    joins, each on a single key; at 100 TB all three shuffle-partition
+    cleanly and AQE splits any residual skew. Graph: the same
+    dual-modulus event digraph as graph_hits, made undirected."""
+    e = _t(spark, sf, "events")
+    raw = e.select(
+        F.pmod("event_id", F.lit(997)).alias("a"),
+        F.pmod(F.col("event_id") * 7 + 13, F.lit(499)).alias("b"),
+    ).where(F.col("a") != F.col("b"))
+    # cut: und feeds deg (twice) + the orientation join — without the cut
+    # Catalyst inlines the distinct into every consumer and the events
+    # scan multiplies (observed: 64 exchanges; with cuts: ~6)
+    und = _cut(
+        raw.select(
+            F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y")
+        ).distinct()
+    )
+    deg = (
+        und.select(F.col("x").alias("node"))
+        .union(und.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    dx = deg.withColumnsRenamed({"node": "x", "deg": "degx"})
+    dy = deg.withColumnsRenamed({"node": "y", "deg": "degy"})
+    ed = und.join(dx, "x").join(dy, "y")
+    lower_first = (F.col("degx") < F.col("degy")) | (
+        (F.col("degx") == F.col("degy")) & (F.col("x") < F.col("y"))
+    )
+    # cut: oriented is consumed three times (e1, e2, closer)
+    oriented = _cut(
+        ed.select(
+            F.when(lower_first, F.col("x")).otherwise(F.col("y")).alias("u"),
+            F.when(lower_first, F.col("y")).otherwise(F.col("x")).alias("v"),
+        )
+    )
+    e1 = oriented
+    e2 = oriented.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    wedges = e1.join(e2, "v").where(F.col("u") != F.col("w"))
+    # close the wedge: the (u,w) edge may be oriented either way
+    closer = oriented.select(
+        F.least("u", "v").alias("p"), F.greatest("u", "v").alias("q")
+    )
+    tri = wedges.join(
+        closer,
+        (F.least("u", "w") == F.col("p")) & (F.greatest("u", "w") == F.col("q")),
+    ).select("u", "v", "w")
+    return (
+        tri.select(F.col("u").alias("node"))
+        .union(tri.select(F.col("v").alias("node")))
+        .union(tri.select(F.col("w").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+SQL_GRAPH_TRIANGLES = """
+WITH raw AS (
+  SELECT event_id % 997 AS a, (event_id * 7 + 13) % 499 AS b
+  FROM events WHERE event_id % 997 <> (event_id * 7 + 13) % 499),
+und AS (SELECT DISTINCT LEAST(a, b) AS x, GREATEST(a, b) AS y FROM raw),
+deg AS (SELECT node, COUNT(*) AS deg FROM (
+          SELECT x AS node FROM und UNION ALL SELECT y FROM und)
+        GROUP BY node),
+oriented AS (
+  SELECT CASE WHEN (dx.deg, u.x) < (dy.deg, u.y) THEN u.x ELSE u.y END AS u,
+         CASE WHEN (dx.deg, u.x) < (dy.deg, u.y) THEN u.y ELSE u.x END AS v
+  FROM und u JOIN deg dx ON dx.node = u.x JOIN deg dy ON dy.node = u.y),
+closer AS (SELECT LEAST(u, v) AS p, GREATEST(u, v) AS q FROM oriented),
+tri AS (
+  SELECT e1.u, e1.v, e2.v AS w
+  FROM oriented e1
+  JOIN oriented e2 ON e2.u = e1.v
+  JOIN closer c ON c.p = LEAST(e1.u, e2.v) AND c.q = GREATEST(e1.u, e2.v)
+  WHERE e1.u <> e2.v)
+SELECT node, COUNT(*) AS n_triangles FROM (
+  SELECT u AS node FROM tri
+  UNION ALL SELECT v FROM tri
+  UNION ALL SELECT w FROM tri)
+GROUP BY node
+"""
+
+
+def q_basket_pairs(spark, sf):
+    """Market-basket pair mining (the frequent-itemset support-count
+    kernel): parts co-ordered in the same order, support >= 2. The
+    self-join is CO-PARTITIONED on l_orderkey — one shuffle per side,
+    pairs materialize inside the partition, and the quadratic fan-out is
+    bounded by the basket size (TPC-H caps at 7 lineitems/order; a web
+    corpus would cap baskets explicitly the way SHINGLE_DF_CAP does in
+    the dedup suite). The a<b predicate halves the pairs and canonicals
+    the key so support counts need no post-merge."""
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.withColumnRenamed("l_partkey", "part_a")
+    b = li.withColumnRenamed("l_partkey", "part_b")
+    pairs = a.join(b, "l_orderkey").where(F.col("part_a") < F.col("part_b"))
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 2)
+    )
+
+
+SQL_BASKET_PAIRS = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS support
+FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey
+GROUP BY a.l_partkey, b.l_partkey
+HAVING COUNT(*) >= 2
+"""
+
+
+def q_events_zscore_outliers(spark, sf):
+    """Per-user anomaly detection: count events whose value is more than
+    2 population-stddevs from the user's mean — with the z-test done in
+    EXACT INTEGER arithmetic so both engines agree bit-for-bit (float
+    mean/stddev would hash-differ on summation order). The identity:
+    z^2 > 4  <=>  (n*v - s)^2 > 4*(n*q - s^2), where s=sum(v), q=sum(v^2)
+    over the user's scaled-integer values — no division, no floats.
+    Plan: ONE shuffle total — window aggregates over user_id (no orderBy
+    → single pass, no sort), then the per-user rollup reuses the same
+    hash partitioning (zero extra exchanges)."""
+    e = _t(spark, sf, "events").select(
+        "user_id", _x100(F.col("value")).alias("v")
+    )
+    w = Window.partitionBy("user_id")
+    st = e.select(
+        "user_id",
+        "v",
+        F.sum("v").over(w).alias("s"),
+        F.sum(F.col("v") * F.col("v")).over(w).alias("q"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    lhs = (F.col("n") * F.col("v") - F.col("s")) * (
+        F.col("n") * F.col("v") - F.col("s")
+    )
+    rhs = 4 * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+    return st.groupBy("user_id").agg(
+        F.max("n").alias("n_events"),
+        F.sum((lhs > rhs).cast("bigint")).alias("n_outliers"),
+    )
+
+
+SQL_ZSCORE_OUTLIERS = """
+WITH sc AS (
+  SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS v FROM events),
+st AS (
+  SELECT user_id, v,
+         SUM(v)     OVER (PARTITION BY user_id) AS s,
+         SUM(v * v) OVER (PARTITION BY user_id) AS q,
+         COUNT(*)   OVER (PARTITION BY user_id) AS n
+  FROM sc)
+SELECT user_id, CAST(MAX(n) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN (n*v - s)*(n*v - s) > 4*(n*q - s*s)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM st GROUP BY user_id
+"""
+
+
 def q_volume_shipping(spark, sf):
     """TPC-H Q7 shape: bilateral nation-pair trade volume by year. Two
     nation dims joined under different roles (supplier vs customer) —
@@ -2197,6 +2366,9 @@ RELATIONAL_QUERIES = {
     "events_session_window": (q_events_session_window, SQL_SESSION_WINDOW),
     "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),
     "events_cube": (q_events_cube, SQL_EVENTS_CUBE),
+    "graph_triangles": (q_graph_triangles, SQL_GRAPH_TRIANGLES),
+    "basket_pairs": (q_basket_pairs, SQL_BASKET_PAIRS),
+    "events_zscore_outliers": (q_events_zscore_outliers, SQL_ZSCORE_OUTLIERS),
     "volume_shipping": (q_volume_shipping, SQL_VOLUME_SHIPPING),
     "promo_effect": (q_promo_effect, SQL_PROMO_EFFECT),
     "top_supplier": (q_top_supplier, SQL_TOP_SUPPLIER),

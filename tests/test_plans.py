@@ -267,3 +267,43 @@ def test_hits_reads_one_column_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     read = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "event_id" in read and "user_id" not in read and "value" not in read
+
+
+def test_triangles_degree_ordered_no_blowup(spark):
+    """graph_triangles: degree-ordered orientation + lineage cuts must
+    leave a hash-join-only plan (no cartesian/nested-loop) whose final
+    stage is a single exchange — the cut blocks (und, oriented) are
+    materialized once, not inlined into every consumer."""
+    from brink_spark.queries.relational import q_graph_triangles
+
+    plan = _codegen(q_graph_triangles(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # without the cuts Catalyst multiplies the events scan (observed: 64
+    # exchanges); with them the tail of the plan is one aggregation shuffle
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_basket_pairs_copartitioned_self_join(spark):
+    """basket_pairs: the self-join must be an equi-join on l_orderkey
+    (co-partitioned; broadcast at test SF is fine) — never a cartesian —
+    and the support count is partial before its exchange."""
+    from brink_spark.queries.relational import q_basket_pairs
+
+    plan = _codegen(q_basket_pairs(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan
+
+
+def test_zscore_single_shuffle_window(spark):
+    """events_zscore_outliers: window aggs without orderBy + a rollup on
+    the same key must cost exactly ONE exchange — the per-user rollup
+    reuses the window's hash partitioning, and the whole z-test stays in
+    integer expressions (no Python UDF anywhere)."""
+    from brink_spark.queries.relational import q_events_zscore_outliers
+
+    plan = _codegen(q_events_zscore_outliers(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
