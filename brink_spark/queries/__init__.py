@@ -9,6 +9,7 @@ summation-order differences between engines can't flip the hash.
 
 from brink_spark.queries.relational import RELATIONAL_QUERIES
 from brink_spark.queries.pipeline import PIPELINE_QUERIES
+from brink_spark.queries.sketches import SKETCH_QUERIES
 
 # Driver-row rotation: the round driver evaluates (at most) the FIRST 50
 # registry entries — round 3 recorded rows for exactly positions 0-49 of
@@ -44,9 +45,10 @@ _NEED_DRIVER_ROW = [
     "graph_triangles",
     "basket_pairs",
     "events_zscore_outliers",
+    "sketch_distinct_users",
 ]
 
-_MERGED: dict = {**RELATIONAL_QUERIES, **PIPELINE_QUERIES}
+_MERGED: dict = {**RELATIONAL_QUERIES, **PIPELINE_QUERIES, **SKETCH_QUERIES}
 ALL_QUERIES: dict = {
     **{k: _MERGED[k] for k in _NEED_DRIVER_ROW},
     **{k: v for k, v in _MERGED.items() if k not in _NEED_DRIVER_ROW},
