@@ -64,6 +64,13 @@ HEADLINE = [
     "brand_year_trend",
     "customer_running_total",
     "value_percentiles",
+    # late-r4 additions (headline escalation is symmetric: every widening
+    # is noted in BENCH/BASELINE.md so totals stay cross-round comparable)
+    "graph_triangles",
+    "basket_pairs",
+    "events_zscore_outliers",
+    "events_session_window",
+    "sketch_distinct_users",
 ]
 
 CRAWL_WAVES = 10

@@ -871,14 +871,21 @@ def q_graph_triangles(spark, sf):
         F.pmod("event_id", F.lit(997)).alias("a"),
         F.pmod(F.col("event_id") * 7 + 13, F.lit(499)).alias("b"),
     ).where(F.col("a") != F.col("b"))
+    und = raw.select(
+        F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y")
+    ).distinct()
+    return triangle_counts(und)
+
+
+def triangle_counts(und: DataFrame) -> DataFrame:
+    """Degree-ordered triangle kernel over a canonical undirected edge set
+    (columns x < y, deduplicated). Returns (node, n_triangles). Shared by
+    q_graph_triangles and the brute-force property tests
+    (tests/test_graph_kernels.py)."""
     # cut: und feeds deg (twice) + the orientation join — without the cut
-    # Catalyst inlines the distinct into every consumer and the events
-    # scan multiplies (observed: 64 exchanges; with cuts: ~6)
-    und = _cut(
-        raw.select(
-            F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y")
-        ).distinct()
-    )
+    # Catalyst inlines the upstream plan into every consumer and the
+    # source scan multiplies (observed: 64 exchanges; with cuts: ~6)
+    und = _cut(und)
     deg = (
         und.select(F.col("x").alias("node"))
         .union(und.select(F.col("y").alias("node")))
