@@ -37,6 +37,16 @@ BNLJ_WHITELIST = {
     "lm_score_bigram": "corpus-total token count — 1-row build side",
     "vocab_stats": "corpus-total token count — 1-row build side",
     "repetition_stats": "corpus-level denominators — 1-row build side",
+    "sales_opportunity": "acctbal threshold scalar (Q22 shape) — 1-row build side",
+    # constant parameter tables: the build side is O(k) config rows
+    # (hash-permutation seeds / IVF centroids / simhash bit-planes), not
+    # data — the cross join fans each row out k ways by construction
+    "dedup_minhash_lsh": "permutation-seed table cross join — O(k) constant build side",
+    "dedup_simhash": "bit-plane table cross join — O(k) constant build side",
+    "ann_ivf_topk": "centroid table cross join — O(k) constant build side",
+    # the one deliberate all-pairs plan in the suite:
+    "ann_bruteforce_topk": "documented brute-force baseline (NOT-equal join); "
+    "scale paths are ann_lsh_topk / ann_ivf_topk",
 }
 
 
