@@ -46,6 +46,8 @@ _NEED_DRIVER_ROW = [
     "basket_pairs",
     "events_zscore_outliers",
     "sketch_distinct_users",
+    "graph_components_2phase",
+    "dedup_jaccard_prefix",
 ]
 
 _MERGED: dict = {**RELATIONAL_QUERIES, **PIPELINE_QUERIES, **SKETCH_QUERIES}

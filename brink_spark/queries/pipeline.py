@@ -174,6 +174,78 @@ WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
 """
 
 
+def q_dedup_jaccard_prefix(spark, sf):
+    """Jaccard ≥ 0.5 pairs via PREFIX FILTERING (PPJoin family: Chaudhuri
+    et al. ICDE'06 / Xiao et al. WWW'08) — same output contract as
+    q_dedup_ngram_jaccard (the oracle is literally the same SQL), but the
+    self-join touches only each doc's PREFIX: order every doc's shingles
+    by a global total order (document frequency asc, then shingle — rare
+    tokens first), keep the first |d| - ceil(t·|d|) + 1; two docs with
+    J ≥ t MUST share a prefix token under any common total order, so the
+    candidate join is provably lossless while skipping the frequent tail
+    where most of the quadratic blowup lives. A length filter
+    (min(|a|,|b|) ≥ t·max(|a|,|b|), a Jaccard necessary condition) prunes
+    candidates before verification; exact intersection counts are then
+    computed only for surviving pairs. At scale: the df-rank join reuses
+    the shingle-keyed shuffle topology; per-doc ordering is a window
+    partitioned by doc_id (bounded by doc length, never by corpus);
+    verification joins are candidate-driven, proportional to candidate
+    count not corpus²."""
+    t = 0.5
+    sh = _capped_shingles(spark, sf)
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    wdoc = Window.partitionBy("doc_id")
+    ranked = (
+        sh.join(dfreq, "sh")
+        .withColumn("pos", F.row_number().over(wdoc.orderBy("df", "sh")))
+        .withColumn("n_sh", F.count(F.lit(1)).over(wdoc))
+    )
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("n_sh") - F.ceil(F.col("n_sh") * t) + 1
+    ).select("doc_id", "sh", "n_sh")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: J >= t forces min >= t * max
+            & (
+                F.least("a.n_sh", "b.n_sh")
+                >= F.greatest("a.n_sh", "b.n_sh") * t
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .distinct()
+    )
+    x, y = sh.alias("x"), sh.alias("y")
+    inter = (
+        cand.join(x, F.col("x.doc_id") == F.col("doc_a"))
+        .join(
+            y,
+            (F.col("y.doc_id") == F.col("doc_b"))
+            & (F.col("y.sh") == F.col("x.sh")),
+        )
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= t)
+        .select("doc_a", "doc_b", "n_inter", "jaccard")
+    )
+
+
 def q_dedup_minhash_lsh(spark, sf):
     """MinHash + LSH banding, b=4 bands × r=2 rows (8 independent
     permutation proxies): a band's signature is the concat of its two rows'
@@ -1730,6 +1802,8 @@ FROM documents
 PIPELINE_QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
+    # same oracle on purpose: proves the prefix-filter join is lossless
+    "dedup_jaccard_prefix": (q_dedup_jaccard_prefix, SQL_NGRAM_JACCARD),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_MINHASH_LSH),
     "dedup_simhash": (q_dedup_simhash, SQL_SIMHASH),
     "embed_neardup": (q_embed_neardup, SQL_EMBED_NEARDUP),

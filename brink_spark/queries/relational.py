@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from brink_spark.queries.iterate import cut as _cut
 from brink_spark.queries.iterate import min_label_propagate as _min_label_propagate
+from brink_spark.queries.iterate import two_phase_components as _two_phase_components
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -664,6 +665,42 @@ l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM und),
 {_sql_cc_iter("l2", "l3")},
 {_sql_cc_iter("l3", "l4")}
 SELECT lbl AS component, COUNT(*) AS n_nodes FROM l4 GROUP BY lbl
+"""
+
+
+def q_graph_components_2phase(spark, sf):
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al. SoCC'14) — converges in O(log n) rounds
+    regardless of graph diameter, vs O(diameter) for the label-propagation
+    form (`graph_components`). Same events link graph, same output shape;
+    the oracle is DuckDB's recursive-CTE TRUE components (min reachable
+    node id), so this query is checked against the exact fixed point, not
+    a fixed round count — proving the contraction actually converged.
+    At scale: each round is two node-keyed shuffles over an edge set that
+    only shrinks; lineage is cut per round (queries/iterate.py)."""
+    e = _t(spark, sf, "events")
+    edges = e.select(
+        F.pmod("event_id", F.lit(997)).alias("src"),
+        F.pmod(F.col("event_id") * 7 + 13, F.lit(997)).alias("dst"),
+    ).distinct()
+    labels = _two_phase_components(edges)
+    return labels.groupBy(F.col("lbl").alias("component")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+
+
+SQL_COMPONENTS_2PHASE = """
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT event_id % 997 AS src, (event_id * 7 + 13) % 997 AS dst
+  FROM events),
+und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+nodes AS (SELECT DISTINCT src AS node FROM und),
+reach(node, r) AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT u.dst AS node, reach.r FROM reach JOIN und u ON u.src = reach.node),
+lbl AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+SELECT component, COUNT(*) AS n_nodes FROM lbl GROUP BY component
 """
 
 
@@ -2369,6 +2406,7 @@ RELATIONAL_QUERIES = {
     "sitemap_seeds": (q_sitemap_seeds, SQL_SITEMAP_SEEDS),
     "graph_pagerank": (q_graph_pagerank, SQL_PAGERANK),
     "graph_components": (q_graph_components, SQL_COMPONENTS),
+    "graph_components_2phase": (q_graph_components_2phase, SQL_COMPONENTS_2PHASE),
     "graph_hits": (q_graph_hits, SQL_GRAPH_HITS),
     "events_session_window": (q_events_session_window, SQL_SESSION_WINDOW),
     "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),

@@ -75,6 +75,29 @@ def test_converged_matches_fixed_when_diameter_small(monkeypatch, spark):
     assert fixed == conv == [("a", 3), ("x", 3)]
 
 
+def test_two_phase_collapses_chain_in_log_rounds(spark):
+    """Star contraction's whole point: a diameter-63 chain converges well
+    within 12 rounds (O(log n)), where label propagation would need ~63.
+    max_rounds=12 < diameter proves the speedup is real, not a guard."""
+    from brink_spark.queries.iterate import two_phase_components
+
+    rows = [(i, i + 1) for i in range(64)]
+    edges = spark.createDataFrame(rows, ["src", "dst"])
+    labels = two_phase_components(edges, max_rounds=12).collect()
+    assert len(labels) == 65
+    assert {r["lbl"] for r in labels} == {0}
+
+
+def test_two_phase_keeps_selfloop_isolates(spark):
+    """A node whose only edge is a self-loop is its own component — it
+    must survive the self-loop drop into the output inventory."""
+    from brink_spark.queries.iterate import two_phase_components
+
+    edges = spark.createDataFrame([(1, 2), (7, 7)], ["src", "dst"])
+    got = {r["node"]: r["lbl"] for r in two_phase_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 7: 7}
+
+
 from hypothesis import given, settings, strategies as st
 
 _edges_strategy = st.lists(
@@ -84,6 +107,40 @@ _edges_strategy = st.lists(
     min_size=1,
     max_size=40,
 )
+
+
+@settings(max_examples=10, deadline=None)
+@given(_edges_strategy)
+def test_two_phase_equals_union_find(spark, edges):
+    """Property: large-star/small-star contraction produces exactly the
+    connected components (label = min node id) on arbitrary topology —
+    same union-find oracle as the propagation form."""
+    from brink_spark.queries.iterate import two_phase_components
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {}
+    for n in parent:
+        expect.setdefault(find(n), set()).add(n)
+    want = {min(m): sorted(m) for m in expect.values()}
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    labels = two_phase_components(df)
+    got = {}
+    for r in labels.collect():
+        got.setdefault(r["lbl"], []).append(r["node"])
+    assert {k: sorted(v) for k, v in got.items()} == want
 
 
 @settings(max_examples=15, deadline=None)
