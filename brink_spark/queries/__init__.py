@@ -48,6 +48,7 @@ _NEED_DRIVER_ROW = [
     "sketch_distinct_users",
     "graph_components_2phase",
     "dedup_jaccard_prefix",
+    "dedup_incremental",
 ]
 
 _MERGED: dict = {**RELATIONAL_QUERIES, **PIPELINE_QUERIES, **SKETCH_QUERIES}

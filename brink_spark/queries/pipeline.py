@@ -326,6 +326,60 @@ FROM sig a JOIN sig b ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id
 """
 
 
+def _is_new_batch(col):
+    # Deterministic engine-identical 3/16 "today's crawl" split: first hex
+    # digit of md5(doc_id) — both engines emit lowercase hex.
+    return F.substring(F.md5(col.cast("string")), 1, 1).isin("0", "1", "2")
+
+
+def q_dedup_incremental(spark, sf):
+    """Incremental ingest dedup — the shape a production pipeline actually
+    runs daily: near-dup-match only the NEW batch against the existing
+    corpus, never re-cluster the whole corpus. Docs are split
+    deterministically (md5 first hex digit: ~3/16 are "today's batch");
+    output is each batch doc with its count of corpus near-dup matches
+    (MinHash-LSH pairs crossing the split — batch-internal and
+    corpus-internal pairs are excluded on both engines).
+
+    At scale the corpus side's band signatures are NOT recomputed per
+    ingest: they live precomputed in the corpus store, bucketed by
+    (band, mh) (sources/corpus.py bucketed writes), so the probe is a
+    bucket-local join proportional to the BATCH size — the corpus is
+    touched only on matching buckets. Here both sides derive from one
+    table so the oracle can check the exact same pair set."""
+    pairs = q_dedup_minhash_lsh(spark, sf)
+    tagged = pairs.withColumn("a_new", _is_new_batch(F.col("doc_a"))).withColumn(
+        "b_new", _is_new_batch(F.col("doc_b"))
+    )
+    crossing = tagged.filter(F.col("a_new") != F.col("b_new"))
+    return (
+        crossing.select(
+            F.when(F.col("a_new"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("batch_doc")
+        )
+        .groupBy("batch_doc")
+        .agg(F.count(F.lit(1)).alias("n_corpus_dups"))
+    )
+
+
+SQL_DEDUP_INCREMENTAL = f"""
+WITH {_SQL_SHINGLES},
+{_SQL_MINHASH_CTES},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id),
+tagged AS (
+  SELECT doc_a, doc_b,
+         substr(md5(CAST(doc_a AS VARCHAR)), 1, 1) IN ('0', '1', '2') AS a_new,
+         substr(md5(CAST(doc_b AS VARCHAR)), 1, 1) IN ('0', '1', '2') AS b_new
+  FROM pairs)
+SELECT CASE WHEN a_new THEN doc_a ELSE doc_b END AS batch_doc,
+       COUNT(*) AS n_corpus_dups
+FROM tagged WHERE a_new <> b_new GROUP BY 1
+"""
+
+
 def q_dedup_simhash(spark, sf):
     """16-bit SimHash over distinct tokens: per bit, majority vote of the
     token-hash bits (md5 nibbles via strpos — engine-identical)."""
@@ -1805,6 +1859,7 @@ PIPELINE_QUERIES = {
     # same oracle on purpose: proves the prefix-filter join is lossless
     "dedup_jaccard_prefix": (q_dedup_jaccard_prefix, SQL_NGRAM_JACCARD),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_MINHASH_LSH),
+    "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "dedup_simhash": (q_dedup_simhash, SQL_SIMHASH),
     "embed_neardup": (q_embed_neardup, SQL_EMBED_NEARDUP),
     "embed_neardup_lsh": (q_embed_neardup_lsh, SQL_EMBED_NEARDUP_LSH),

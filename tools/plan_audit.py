@@ -42,6 +42,7 @@ BNLJ_WHITELIST = {
     # (hash-permutation seeds / IVF centroids / simhash bit-planes), not
     # data — the cross join fans each row out k ways by construction
     "dedup_minhash_lsh": "permutation-seed table cross join — O(k) constant build side",
+    "dedup_incremental": "inherits dedup_minhash_lsh's permutation-seed cross join",
     "dedup_simhash": "bit-plane table cross join — O(k) constant build side",
     "ann_ivf_topk": "centroid table cross join — O(k) constant build side",
     # the one deliberate all-pairs plan in the suite:
