@@ -56,6 +56,9 @@ HEADLINE = [
     "events_range_join",
     # round-4 additions
     "dedup_clusters_converged",
+    "graph_components_2phase",
+    "dedup_jaccard_prefix",
+    "dedup_incremental",
     "sales_opportunity",
     "supplier_parts_distinct",
     "top_parts_per_supplier",

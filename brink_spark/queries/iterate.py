@@ -98,7 +98,12 @@ def two_phase_components(
         mins = und.groupBy("u").agg(
             F.least(F.first("u"), F.min("v")).alias("m")
         )
-        E = cut(
+        # One lineage cut per ROUND (after small-star) is enough: the
+        # round always starts from a checkpointed E, so the within-round
+        # plan depth is a constant (LS feeding SS), not compounding.
+        # Cutting here too would double the eager materializations for
+        # no asymptotic gain.
+        E = (
             und.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
