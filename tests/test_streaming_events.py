@@ -157,3 +157,89 @@ def test_streaming_session_window_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM ev_sessions").collect()
     }
     assert got == want
+
+
+def test_watermark_drops_late_event(spark, tmp_path):
+    """The watermark SEMANTIC itself (not just drained-stream equality):
+    an event arriving for an already-closed window is DROPPED. Spark
+    >= 3.4 runs DUAL watermarks (SPARK-40925): late-row FILTERING uses
+    the previous micro-batch's watermark while state EVICTION uses the
+    current one — so a late row landing exactly one batch after the
+    advance still merges into state (empirically pinned here first).
+    Timeline: batch 1 (10:10 + 10:20 clicks, 12:30 view) computes
+    watermark 11:30; batch 2 (13:00 view) evicts+emits the [10:00,11:00)
+    click window with n=2 and lifts the FILTER watermark to 11:30;
+    batch 3's late 10:15 click now hits a closed window and is dropped
+    (numRowsDroppedByWatermark = 1). A naive batch recompute over the
+    same files counts 3 — proving the streaming path genuinely dropped
+    the row. At crawl scale this is the contract that bounds
+    frontier/metrics state: stragglers older than the watermark cannot
+    reopen closed aggregates."""
+    import datetime as dt
+    import os
+    import time as _time
+
+    src_dir = tmp_path / "late_in"
+    src_dir.mkdir()
+    schema = "ts timestamp, event_type string"
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(rows, schema).coalesce(1)
+        d = tmp_path / name
+        df.write.mode("overwrite").parquet(str(d))
+        part = next(p for p in os.listdir(d) if p.endswith(".parquet"))
+        dst = src_dir / f"{name}.parquet"
+        os.rename(d / part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)
+    now = _time.time()
+    # mtime order = micro-batch order (maxFilesPerTrigger=1)
+    write_file(
+        "b1",
+        [(t(10, 10), "click"), (t(10, 20), "click"), (t(12, 30), "view")],
+        now - 120,
+    )
+    write_file("b2", [(t(13, 0), "view")], now - 60)
+    write_file("b3", [(t(10, 15), "click")], now)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src_dir))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n_events")
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ev_late")
+        .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    )
+    got = {
+        (r["ws"], r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM ev_late").collect()
+    }
+    # the finalized click window holds ONLY the two batch-1 events; the
+    # late 10:15 row was dropped by the filter watermark
+    assert got == {(t(10, 0), "click"): 2}
+    assert dropped == 1
+    # naive batch recompute over the same files sees all 3 — the
+    # streaming path genuinely dropped the late row
+    n_batch = (
+        spark.read.schema(schema)
+        .parquet(str(src_dir))
+        .filter((F.col("ts") >= t(10, 0)) & (F.col("ts") < t(11, 0)))
+        .count()
+    )
+    assert n_batch == 3

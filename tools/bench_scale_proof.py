@@ -148,6 +148,8 @@ def main() -> None:
     suite = {
         "dedup_minhash_lsh": pl.q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": pl.q_dedup_ngram_jaccard,
+        "dedup_jaccard_prefix": pl.q_dedup_jaccard_prefix,
+        "dedup_incremental": pl.q_dedup_incremental,
         "dedup_clusters_converged": pl.q_dedup_clusters_converged,
         "dedup_chunks": pl.q_dedup_chunks,
     }
