@@ -1261,6 +1261,96 @@ FROM f
 """
 
 
+def q_multimodal_frame_sample(spark, sf):
+    """Frame-sample + resize plumbing for video-like payloads: a 64-byte
+    binary column (4 chained md5 blocks — deterministic stand-in for a
+    real container; a production pipeline decodes with pyav/ffmpeg here)
+    is viewed as 16 frames x 4 bytes, stride-sampled every 4th frame, and
+    each sampled frame is "resized" to its floor-mean byte (the thumbnail
+    step). All feature math is Arrow-batched numpy over mapInPandas —
+    reshape/stride/sum on the batch, zero per-row Python — which is the
+    exact production shape for frame extraction at scale (partition =
+    batch of videos, frames never leave the executor). Oracle recomputes
+    every byte from md5 nibble arithmetic in DuckDB."""
+    d = _docs(spark, sf).select(
+        "doc_id",
+        F.unhex(
+            F.concat(
+                F.md5("text"),
+                F.md5(F.concat("text", F.lit("x"))),
+                F.md5(F.concat("text", F.lit("y"))),
+                F.md5(F.concat("text", F.lit("z"))),
+            )
+        ).alias("payload"),
+    )
+
+    def _sample(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            raw = np.frombuffer(b"".join(pdf["payload"]), dtype=np.uint8).reshape(
+                len(pdf), 16, 4
+            )
+            sampled = raw[:, ::4, :].astype("int64")  # (n, 4 frames, 4 bytes)
+            means = sampled.sum(axis=2) // 4
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_frames": np.full(len(pdf), 16, dtype="int64"),
+                    "n_sampled": np.full(len(pdf), 4, dtype="int64"),
+                    "sampled_byte_sum": sampled.sum(axis=(1, 2)),
+                    "f0_mean": means[:, 0],
+                    "f1_mean": means[:, 1],
+                    "f2_mean": means[:, 2],
+                    "f3_mean": means[:, 3],
+                }
+            )
+
+    return d.mapInPandas(
+        _sample,
+        schema=(
+            "doc_id long, n_frames long, n_sampled long, sampled_byte_sum long,"
+            " f0_mean long, f1_mean long, f2_mean long, f3_mean long"
+        ),
+    )
+
+
+def _sql_frame_byte(k: int) -> str:
+    """DuckDB expr for byte k (0-63) of the 4-block md5 hex string ``h``."""
+    return (
+        f"((strpos('0123456789abcdef', substr(h, {2 * k + 1}, 1)) - 1) * 16"
+        f" + (strpos('0123456789abcdef', substr(h, {2 * k + 2}, 1)) - 1))"
+    )
+
+
+def _sql_frame_mean(f: int) -> str:
+    return (
+        "(("
+        + " + ".join(_sql_frame_byte(4 * f + j) for j in range(4))
+        + ") // 4)"
+    )
+
+
+SQL_MULTIMODAL_FRAMES = f"""
+WITH f AS (
+  SELECT doc_id,
+         md5(text) || md5(text || 'x') || md5(text || 'y') || md5(text || 'z')
+           AS h
+  FROM documents)
+SELECT doc_id,
+       CAST(16 AS BIGINT) AS n_frames,
+       CAST(4 AS BIGINT) AS n_sampled,
+       CAST({" + ".join(_sql_frame_byte(4 * f + j) for f in (0, 4, 8, 12)
+                        for j in range(4))} AS BIGINT) AS sampled_byte_sum,
+       CAST({_sql_frame_mean(0)} AS BIGINT) AS f0_mean,
+       CAST({_sql_frame_mean(4)} AS BIGINT) AS f1_mean,
+       CAST({_sql_frame_mean(8)} AS BIGINT) AS f2_mean,
+       CAST({_sql_frame_mean(12)} AS BIGINT) AS f3_mean
+FROM f
+"""
+
+
 # --------------------------------------------------------------------------
 # corpus analytics round 3: tf-idf terms, stratified sampling, dup clustering
 
@@ -1877,6 +1967,7 @@ PIPELINE_QUERIES = {
     "token_stats_by_lang": (q_token_stats_by_lang, SQL_TOKEN_STATS),
     "token_bpe_stats": (q_token_bpe_stats, SQL_TOKEN_BPE),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
+    "multimodal_frame_sample": (q_multimodal_frame_sample, SQL_MULTIMODAL_FRAMES),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),

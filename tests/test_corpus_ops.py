@@ -277,3 +277,36 @@ def test_window_shapes_plan_quality(spark):
     )
     assert "Window" in p
     assert p.count("Exchange") == 1  # one custkey shuffle, nothing else
+
+
+def test_multimodal_frame_sample_hand_computed(spark, tmp_path):
+    """Frame-sample math pinned against a pure-Python hashlib recomputation:
+    the 64-byte payload is 4 chained md5 digests, frames are 4-byte strides,
+    sampled frames are 0/4/8/12, resize = floor-mean per sampled frame."""
+    import hashlib
+
+    from brink_spark.queries.pipeline import q_multimodal_frame_sample
+
+    texts = ["hello world", "the quick brown fox", ""]
+    rows = [(i, t, "en", "web", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r["doc_id"]: r
+        for r in q_multimodal_frame_sample(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {0, 1, 2}
+    for i, t in enumerate(texts):
+        payload = b"".join(
+            hashlib.md5((t + suf).encode()).digest() for suf in ("", "x", "y", "z")
+        )
+        assert len(payload) == 64
+        frames = [payload[4 * k : 4 * k + 4] for k in range(16)]
+        sampled = [frames[f] for f in (0, 4, 8, 12)]
+        r = got[i]
+        assert (r["n_frames"], r["n_sampled"]) == (16, 4)
+        assert r["sampled_byte_sum"] == sum(sum(f) for f in sampled)
+        for j, f in enumerate(sampled):
+            assert r[f"f{j}_mean"] == sum(f) // 4
