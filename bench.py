@@ -74,6 +74,7 @@ HEADLINE = [
     "events_zscore_outliers",
     "events_session_window",
     "sketch_distinct_users",
+    "multimodal_frame_sample",
 ]
 
 CRAWL_WAVES = 10
