@@ -49,6 +49,7 @@ _NEED_DRIVER_ROW = [
     "graph_components_2phase",
     "dedup_jaccard_prefix",
     "dedup_incremental",
+    "multimodal_frame_sample",
 ]
 
 _MERGED: dict = {**RELATIONAL_QUERIES, **PIPELINE_QUERIES, **SKETCH_QUERIES}
