@@ -21,6 +21,11 @@ def test_bench_main_contract(monkeypatch, spark):
     monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     monkeypatch.setenv("SPARK_GRAFT_CPUS", "8")
 
+    # main() ends with spark.stop(); get_spark's getOrCreate hands it the
+    # session-scoped test fixture, so without this every Spark test after
+    # this one would fail on a dead session.
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+
     # main() hardcodes 3 repeats locally — cheap for the two toy queries.
     out = io.StringIO()
     monkeypatch.setattr(sys, "stdout", out)
