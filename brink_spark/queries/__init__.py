@@ -50,6 +50,7 @@ _NEED_DRIVER_ROW = [
     "dedup_jaccard_prefix",
     "dedup_incremental",
     "multimodal_frame_sample",
+    "url_registrable_domain",
 ]
 
 _MERGED: dict = {**RELATIONAL_QUERIES, **PIPELINE_QUERIES, **SKETCH_QUERIES}

@@ -2389,7 +2389,103 @@ GROUP BY year(o_orderdate)
 """
 
 
+def q_url_registrable_domain(spark, sf):
+    """PSL-lite registrable-domain grouping — the politeness "site" key at
+    web scale (a.shop.co.uk and www.shop.co.uk are ONE site; a.github.io
+    and b.github.io are DIFFERENT sites because github.io is a public
+    suffix). Hosts are synthesized deterministically from customer keys to
+    exercise every rule family: plain 2-label, known multi-label suffix
+    (3-label result), deep www. subdomains collapsing onto their site,
+    IPv4 literals kept whole. The extractor is a native column expression
+    (functions/domains.py — split + element_at + constant-folded IN list,
+    whole-stage codegen, zero Python); the aggregate is one exchange on
+    the site key."""
+    from brink_spark.functions.domains import registrable_domain
+
+    c = _t(spark, sf, "customer").select("c_custkey")
+    m8 = F.pmod("c_custkey", F.lit(8))
+    shopid = F.pmod("c_custkey", F.lit(97)).cast("string")
+    suffix = (
+        F.when(m8 == 0, "example.com")
+        .when(m8 == 1, "co.uk")
+        .when(m8 == 2, "github.io")
+        .when(m8 == 3, "org")
+        .when(m8 == 4, "blogspot.com")
+        .when(m8 == 5, "com.au")
+        .otherwise("net")
+    )
+    base = F.concat(F.lit("shop"), shopid, F.lit("."), suffix)
+    host = (
+        F.when(
+            m8 == 7,
+            F.concat(
+                F.lit("10.0."),
+                F.pmod("c_custkey", F.lit(256)).cast("string"),
+                F.lit(".7"),
+            ),
+        )
+        .when(F.pmod("c_custkey", F.lit(2)) == 0, F.concat(F.lit("www."), base))
+        .otherwise(base)
+    )
+    return (
+        c.select(host.alias("host"))
+        .groupBy(registrable_domain(F.col("host")).alias("site"))
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("host").alias("n_hosts"),
+        )
+    )
+
+
+def _sql_registrable() -> str:
+    from brink_spark.functions.domains import MULTI_LABEL_SUFFIXES
+
+    in_list = ", ".join(f"'{s}'" for s in MULTI_LABEL_SUFFIXES)
+    return f"""
+WITH hosts AS (
+  SELECT CASE
+           WHEN c_custkey % 8 = 7 THEN
+             '10.0.' || CAST(c_custkey % 256 AS VARCHAR) || '.7'
+           WHEN c_custkey % 2 = 0 THEN
+             'www.shop' || CAST(c_custkey % 97 AS VARCHAR) || '.' ||
+             CASE c_custkey % 8 WHEN 0 THEN 'example.com' WHEN 1 THEN 'co.uk'
+                  WHEN 2 THEN 'github.io' WHEN 3 THEN 'org'
+                  WHEN 4 THEN 'blogspot.com' WHEN 5 THEN 'com.au'
+                  ELSE 'net' END
+           ELSE
+             'shop' || CAST(c_custkey % 97 AS VARCHAR) || '.' ||
+             CASE c_custkey % 8 WHEN 0 THEN 'example.com' WHEN 1 THEN 'co.uk'
+                  WHEN 2 THEN 'github.io' WHEN 3 THEN 'org'
+                  WHEN 4 THEN 'blogspot.com' WHEN 5 THEN 'com.au'
+                  ELSE 'net' END
+         END AS host
+  FROM customer),
+sites AS (
+  SELECT host,
+         string_split(host, '.') AS l,
+         len(string_split(host, '.')) AS n
+  FROM hosts)
+SELECT CASE
+         WHEN regexp_matches(host, '^\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}$')
+              OR n <= 2 THEN host
+         WHEN l[n-1] || '.' || l[n] IN ({in_list})
+           THEN l[n-2] || '.' || l[n-1] || '.' || l[n]
+         ELSE l[n-1] || '.' || l[n]
+       END AS site,
+       COUNT(*) AS n_urls,
+       COUNT(DISTINCT host) AS n_hosts
+FROM sites GROUP BY 1
+"""
+
+
+SQL_URL_REGISTRABLE_DOMAIN = _sql_registrable()
+
+
 RELATIONAL_QUERIES = {
+    "url_registrable_domain": (
+        q_url_registrable_domain,
+        SQL_URL_REGISTRABLE_DOMAIN,
+    ),
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE_NATION),
     "top_orders": (q_top_orders, SQL_TOP_ORDERS),
