@@ -118,6 +118,11 @@ class CrawlConfig:
     # activation the shards are built once from the full visited set.
     bloom_min_visited: int = 100_000
     politeness_salts: int = 8  # two-phase top-k fan-out for hot hosts
+    # politeness grouping key: "host" (oracle-parity default) or "site"
+    # (registrable domain, functions/domains.py — subdomains of one site
+    # share a single per-wave budget; public-suffix fan-out hosts like
+    # *.github.io stay independent)
+    politeness_key: str = "host"
     compact_visited_every: int = 8  # waves between visited-table compactions
     # --- link-authority frontier prioritization (north_rule "priority
     # frontier queue" closed loop): every K waves recompute integer
@@ -180,6 +185,7 @@ _TOML_KEYS = {
     "worker-count": "worker_count",
     "idle-work-check-interval": "idle_work_check_interval",
     "politeness-budget": "politeness_budget",
+    "politeness-key": "politeness_key",
     "rank-priority-every": "rank_priority_every",
     "max-waves": "max_waves",
     "max-depth": "max_depth",
@@ -235,4 +241,6 @@ def from_toml(path: str) -> CrawlConfig:
         warnings.warn(f"unknown TOML config keys ignored: {sorted(unknown)}")
     if "entrypoint" not in kwargs:
         raise ValueError("config missing 'entrypoint'")
+    if kwargs.get("politeness_key", "host") not in ("host", "site"):
+        raise ValueError("politeness-key must be 'host' or 'site'")
     return CrawlConfig(**kwargs)

@@ -45,10 +45,24 @@ def apply_politeness(
     num_salts: int = 8,
     host_counts: DataFrame | None = None,
     max_pages_per_host: int = 0,
+    key: str = "host",
 ) -> DataFrame:
     """Tag fetch units with ``_eligible`` and ``_host_capped`` (bool).
     ``units`` must carry ``host``, ``unit_priority``, ``url_norm``; one
     row per url_norm.
+
+    ``key`` is the politeness grouping column: ``"host"`` (default, the
+    oracle-parity contract) or any other column present on ``units`` —
+    the engine passes ``"site"`` (registrable domain,
+    functions/domains.py) in site mode so every subdomain of one
+    registrable site shares a single per-wave budget. Budget RESOLUTION
+    stays host-keyed regardless (robots crawl-delay overrides are
+    per-host facts); with mixed per-host budgets inside one site, a row
+    is eligible iff its site-wide rank fits its own host's budget —
+    i.e. the strictest-host rows can defer while a laxer host on the
+    same site still admits, which errs toward throttling, never toward
+    exceeding any host's own budget. The trap-guard cap is likewise a
+    per-host fact and stays host-keyed.
 
     Trap guard (``max_pages_per_host`` > 0): ``host_counts`` is the
     cumulative ``(host, _taken)`` table of fetch attempts from prior
@@ -88,7 +102,7 @@ def apply_politeness(
         units = units.withColumn("_host_capped", F.lit(False))
 
     salt = F.pmod(F.xxhash64("url_norm"), F.lit(num_salts)).cast("int")
-    w1 = Window.partitionBy("host", salt).orderBy("unit_priority", "url_norm")
+    w1 = Window.partitionBy(key, salt).orderBy("unit_priority", "url_norm")
     units = units.withColumn("_rn1", F.row_number().over(w1))
 
     # Beyond-budget within a single salt group ⇒ beyond-budget globally for
@@ -102,7 +116,7 @@ def apply_politeness(
         .withColumn("_eligible", F.lit(False))
     )
 
-    w2 = Window.partitionBy("host").orderBy("unit_priority", "url_norm")
+    w2 = Window.partitionBy(key).orderBy("unit_priority", "url_norm")
     ranked = candidates.withColumn(
         "_eligible", F.row_number().over(w2) <= F.col("_budget")
     ).drop("_budget")

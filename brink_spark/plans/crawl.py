@@ -780,13 +780,24 @@ class CrawlEngine:
             .withColumn("unit_depth", F.min("depth").over(wu))
         )
         units = with_robots_denied(fresh.filter(F.col("_edge_rank") == 1), self._rules)
+        polite_in = units.filter(~F.col("_robots_denied"))
+        if cfg.politeness_key == "site":
+            # site mode: every subdomain of one registrable site shares a
+            # single per-wave budget (functions/domains.py); budget
+            # resolution and the trap-guard cap stay host-keyed facts
+            from brink_spark.functions.domains import registrable_domain
+
+            polite_in = polite_in.withColumn(
+                "site", registrable_domain(F.col("host"))
+            )
         polite = apply_politeness(
-            units.filter(~F.col("_robots_denied")),
+            polite_in,
             self._budgets,
             cfg.politeness_budget,
             cfg.politeness_salts,
             host_counts=self._host_taken,
             max_pages_per_host=cfg.max_pages_per_host,
+            key=cfg.politeness_key if cfg.politeness_key == "site" else "host",
         )
         unit_flags = units.select("url_norm", "_robots_denied").join(
             polite.select("url_norm", "_eligible", "_host_capped"),
