@@ -118,6 +118,13 @@ class CrawlConfig:
     # activation the shards are built once from the full visited set.
     bloom_min_visited: int = 100_000
     politeness_salts: int = 8  # two-phase top-k fan-out for hot hosts
+    # HTTP-304-style recrawl fast path: when an EXPIRED url is refetched
+    # and its body hash equals the stored hash, classify the fetch
+    # "not_modified" — the parse stage is skipped (its links were already
+    # traversed when first seen), the handler gets a spans-free row, and
+    # the seen set is re-armed. Off by default (adds a content_hash
+    # column to visited and a per-run expired-hash join).
+    refetch_skip_unchanged: bool = False
     # politeness grouping key: "host" (oracle-parity default) or "site"
     # (registrable domain, functions/domains.py — subdomains of one site
     # share a single per-wave budget; public-suffix fan-out hosts like
@@ -186,6 +193,7 @@ _TOML_KEYS = {
     "idle-work-check-interval": "idle_work_check_interval",
     "politeness-budget": "politeness_budget",
     "politeness-key": "politeness_key",
+    "refetch-skip-unchanged": "refetch_skip_unchanged",
     "rank-priority-every": "rank_priority_every",
     "max-waves": "max_waves",
     "max-depth": "max_depth",

@@ -151,6 +151,10 @@ class CrawlEngine:
         # fetches (or rebuilt from committed fetchlog on resume); stays
         # None forever when the guard is off.
         self._host_taken: DataFrame | None = None
+        # refetch_skip_unchanged comparison set: (url_norm, prior_hash) of
+        # expired entries, computed once per run() (expiry only happens
+        # between runs). None when the flag is off or nothing is expired.
+        self._prior_hashes: DataFrame | None = None
         # shared cookie jar (reference brink.go:267-274): response cookies
         # merge in by name, overwriting. Wave-discretized semantics: cookies
         # set by pages fetched in wave K apply to requests from wave K+1 on.
@@ -321,7 +325,8 @@ class CrawlEngine:
                         )
                         .filter(
                             F.col("outcome").isin(
-                                "miss", "not_allowed", "too_large", "ok"
+                                "miss", "not_allowed", "too_large", "ok",
+                                "not_modified",
                             )
                         )
                         .groupBy("host")
@@ -378,6 +383,16 @@ class CrawlEngine:
         else:
             raise ValueError("synthetic fetch_mode requires a pages table")
 
+        # HTTP-304-style fast path: bind the expired-entry hash set for
+        # this run (bounded by the tombstone count; localCheckpoint so the
+        # per-wave left join broadcasts a concrete tiny relation instead
+        # of re-scanning visited every wave)
+        self._prior_hashes = None
+        if self.config.refetch_skip_unchanged:
+            ph = self.store.read_expired_visited(self.spark, manifest)
+            if ph is not None:
+                self._prior_hashes = ph.localCheckpoint(eager=True)
+
         # cross-wave pipelining: wave N's deferred writes (fetchlog,
         # results, lineage, metrics) + manifest commit drain on a driver
         # thread WHILE wave N+1's stage job runs. Join points: (a) after
@@ -413,7 +428,9 @@ class CrawlEngine:
                     break
                 m, finish = out
                 manifest.last_wave = wave
-                manifest.total_visited += m.get("n_ok", 0)
+                manifest.total_visited += m.get("n_ok", 0) + m.get(
+                    "n_not_modified", 0
+                )
                 manifest.cookie_jar = dict(self.cookie_jar)
                 manifest.auth_suppressed_since_wave = (
                     self.auth_suppressed_since_wave
@@ -902,34 +919,58 @@ class CrawlEngine:
                 if n_parts > 0
                 else joined.repartition(salt)
             )
-        joined = (
-            joined.withColumn(
-                "outcome",
-                F.when(
-                    _fetchable,
-                    F.when(F.col("page_status").isNull(), "miss")
-                    .when(
-                        ~domain_allowed(
-                            F.col("scheme"), F.col("host"), self.allowed_keys
-                        ),
-                        "not_allowed",
-                    )
-                    .when(
-                        F.col("content_length") > cfg.effective_max_content_length,
-                        "too_large",
-                    )
-                    .otherwise("ok"),
-                ),
-            )
-            .withColumn(
-                "spans",
-                F.when(F.col("outcome") == "ok", parse_spans_udf("body")).otherwise(
-                    F.lit(None).cast(SPANS_TYPE)
-                ),
-            )
-            .withColumn("partition_id", F.spark_partition_id())
+        joined = joined.withColumn(
+            "outcome",
+            F.when(
+                _fetchable,
+                F.when(F.col("page_status").isNull(), "miss")
+                .when(
+                    ~domain_allowed(
+                        F.col("scheme"), F.col("host"), self.allowed_keys
+                    ),
+                    "not_allowed",
+                )
+                .when(
+                    F.col("content_length") > cfg.effective_max_content_length,
+                    "too_large",
+                )
+                .otherwise("ok"),
+            ),
         )
+        if cfg.refetch_skip_unchanged:
+            # HTTP-304-style fast path: an EXPIRED url refetched with an
+            # unchanged body hash becomes outcome 'not_modified' BEFORE
+            # the spans column, so the parse UDF (the expensive stage)
+            # never sees it. Its links were already traversed when first
+            # seen, so skipping traversal loses nothing; the seen set is
+            # re-armed by the visited write below.
+            joined = joined.withColumn(
+                "content_hash",
+                F.when(F.col("outcome") == "ok", F.xxhash64("body")),
+            )
+            if self._prior_hashes is not None:
+                joined = (
+                    joined.join(
+                        F.broadcast(self._prior_hashes), "url_norm", "left"
+                    )
+                    .withColumn(
+                        "outcome",
+                        F.when(
+                            (F.col("outcome") == "ok")
+                            & (F.col("prior_hash") == F.col("content_hash")),
+                            "not_modified",
+                        ).otherwise(F.col("outcome")),
+                    )
+                    .drop("prior_hash")
+                )
+        joined = joined.withColumn(
+            "spans",
+            F.when(F.col("outcome") == "ok", parse_spans_udf("body")).otherwise(
+                F.lit(None).cast(SPANS_TYPE)
+            ),
+        ).withColumn("partition_id", F.spark_partition_id())
         cookie_cols = ["set_cookie"] if "set_cookie" in joined.columns else []
+        hash_cols = ["content_hash"] if cfg.refetch_skip_unchanged else []
         obs_stage = Observation(f"w{wave}_stage")
         stage_out = joined.select(
             "linked_from",
@@ -955,6 +996,7 @@ class CrawlEngine:
             "spans",
             "partition_id",
             *cookie_cols,
+            *hash_cols,
         ).observe(
             obs_stage,
             F.count(F.lit(1)).alias("n_edges"),
@@ -967,6 +1009,15 @@ class CrawlEngine:
             F.count_if(F.col("outcome") == "not_allowed").alias("n_not_allowed"),
             F.count_if(F.col("outcome") == "too_large").alias("n_too_large"),
             F.count_if(F.col("outcome") == "ok").alias("n_ok"),
+            *(
+                [
+                    F.count_if(F.col("outcome") == "not_modified").alias(
+                        "n_not_modified"
+                    )
+                ]
+                if cfg.refetch_skip_unchanged
+                else []
+            ),
         )
         with self._phase("stage-fused"):
             store.write(stage_out, "wavestage", wave)
@@ -992,6 +1043,10 @@ class CrawlEngine:
         m["n_fetched"] = (
             ec["n_miss"] + ec["n_not_allowed"] + ec["n_too_large"] + ec["n_ok"]
         )
+        if cfg.refetch_skip_unchanged:
+            # a not_modified row was a real fetch attempt (HTTP-304 shape)
+            m["n_not_modified"] = ec["n_not_modified"]
+            m["n_fetched"] += ec["n_not_modified"]
 
         # lifetime per-host attempt counts (max_pages_per_host trap guard):
         # every outcome-bearing row was a fetch ATTEMPT; fold this wave's
@@ -1069,6 +1124,13 @@ class CrawlEngine:
             fetchpage, F.col("outcome"), F.col("partition_id")
         ).unionByName(edge_log)
         ok = fetchpage.filter(F.col("outcome") == "ok")
+        # dup-edge handler rows take their status from the unit's fetched
+        # row; in refetch-skip mode a not_modified fetch also anchors them
+        okish = (
+            fetchpage.filter(F.col("outcome").isin("ok", "not_modified"))
+            if cfg.refetch_skip_unchanged
+            else ok
+        )
 
         # --- handler rows (A4) ----------------------------------------------
         results_first = ok.select(
@@ -1085,7 +1147,7 @@ class CrawlEngine:
             # rank>1 rows carry null fetch columns; take page_status from
             # the unit's rank-1 (fetched) row via the join
             .select("linked_from", "url_norm")
-            .join(ok.select("url_norm", "page_status"), "url_norm", "inner")
+            .join(okish.select("url_norm", "page_status"), "url_norm", "inner")
             .select(
                 F.lit(wave).alias("wave"),
                 "linked_from",
@@ -1106,6 +1168,22 @@ class CrawlEngine:
             F.lit(None).cast(SPANS_TYPE).alias("spans"),
         )
         results_out = results_first.unionByName(results_others).unionByName(results_seen)
+        if cfg.refetch_skip_unchanged:
+            # HTTP-304 handler shape: the callback is told the url was
+            # re-checked (real fetch, current status) but gets no body —
+            # exactly the cached-row contract, distinct row_kind
+            results_notmod = fetchpage.filter(
+                F.col("outcome") == "not_modified"
+            ).select(
+                F.lit(wave).alias("wave"),
+                "linked_from",
+                "url_norm",
+                F.col("page_status").alias("status"),
+                F.lit(False).alias("cached"),
+                F.lit("not_modified").alias("row_kind"),
+                F.lit(None).cast(SPANS_TYPE).alias("spans"),
+            )
+            results_out = results_out.unionByName(results_notmod)
 
         # --- traversal -> next frontier (D1/D2/C3/C4/C5/C6) ------------------
         trav = ok.filter(
@@ -1212,15 +1290,24 @@ class CrawlEngine:
 
         def _w_visited_bloom():
             with self._phase("visited-write"):
-                store.write(
-                    ok.select(
+                if cfg.refetch_skip_unchanged:
+                    # not_modified rows re-arm the seen set too, and the
+                    # content hash rides along for the NEXT expiry cycle
+                    vrows = fetchpage.filter(
+                        F.col("outcome").isin("ok", "not_modified")
+                    ).select(
                         "url_norm",
                         F.col("page_status").alias("status"),
                         F.lit(wave).alias("wave"),
-                    ),
-                    "visited",
-                    wave,
-                )
+                        "content_hash",
+                    )
+                else:
+                    vrows = ok.select(
+                        "url_norm",
+                        F.col("page_status").alias("status"),
+                        F.lit(wave).alias("wave"),
+                    )
+                store.write(vrows, "visited", wave)
             if use_bloom:
                 with self._phase("bloom-update"):
                     store.write(

@@ -175,6 +175,39 @@ class CrawlStore:
     def clear_tombstones(self) -> None:
         shutil.rmtree(self._tombstone_dir, ignore_errors=True)
 
+    def read_expired_visited(self, spark, manifest: Manifest):
+        """``(url_norm, prior_hash)`` of the most recent EXPIRED visited
+        entry per url — the comparison set for the engine's
+        ``refetch_skip_unchanged`` (HTTP-304-style) fast path. Bounded by
+        the tombstone set: only tombstoned urls can have expired rows, so
+        the inner join keeps the scan's output tiny regardless of |visited|.
+        Returns None when there are no tombstones or the store predates
+        content hashes (flag turned on mid-crawl). Hash knowledge lives
+        until the next compaction (which materializes the post-expiry
+        state and clears tombstones) — after that a refetch is simply a
+        full fetch again, which is correct, just not optimized."""
+        from pyspark.sql import functions as F
+
+        paths = self.visited_paths(manifest)
+        if not paths or not os.path.isdir(self._tombstone_dir):
+            return None
+        try:
+            tomb = spark.read.parquet(self._tombstone_dir)
+        except Exception:
+            return None
+        df = spark.read.parquet(*paths)
+        if "content_hash" not in df.columns:
+            return None
+        mx = tomb.groupBy("url_norm").agg(
+            F.max("expired_asof_wave").alias("_exp")
+        )
+        return (
+            df.join(mx, "url_norm")
+            .filter(F.col("wave") <= F.col("_exp"))
+            .groupBy("url_norm")
+            .agg(F.max_by("content_hash", "wave").alias("prior_hash"))
+        )
+
     def read_visited(self, spark, manifest: Manifest):
         paths = self.visited_paths(manifest)
         if not paths:
