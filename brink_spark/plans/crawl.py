@@ -963,11 +963,15 @@ class CrawlEngine:
                     )
                     .drop("prior_hash")
                 )
+        # null the UDF's INPUT, not its output: Spark does not short-circuit
+        # Python UDFs inside when() — `when(cond, udf(body))` still ships
+        # every body to Python and discards the result for false rows
+        # (too_large, not_allowed, and the not_modified fast path would all
+        # pay the full parse). With the when() on the body column the
+        # filter runs natively and Python sees null for skipped rows.
         joined = joined.withColumn(
             "spans",
-            F.when(F.col("outcome") == "ok", parse_spans_udf("body")).otherwise(
-                F.lit(None).cast(SPANS_TYPE)
-            ),
+            parse_spans_udf(F.when(F.col("outcome") == "ok", F.col("body"))),
         ).withColumn("partition_id", F.spark_partition_id())
         cookie_cols = ["set_cookie"] if "set_cookie" in joined.columns else []
         hash_cols = ["content_hash"] if cfg.refetch_skip_unchanged else []
