@@ -546,11 +546,12 @@ class CrawlEngine:
                 if n_parts > 0
                 else fetched.repartition(salt)
             )
+        # when() on the UDF INPUT: Spark doesn't short-circuit Python UDFs,
+        # so gating the body column (not the udf call) is what actually
+        # skips the parse for non-ok rows (same fix as the wave stage)
         fetched = fetched.withColumn(
             "spans",
-            F.when(F.col("outcome") == "ok", parse_spans_udf("body")).otherwise(
-                F.lit(None).cast(SPANS_TYPE)
-            ),
+            parse_spans_udf(F.when(F.col("outcome") == "ok", F.col("body"))),
         ).withColumn("partition_id", F.spark_partition_id())
         cookie_cols = ["set_cookie"] if "set_cookie" in fetched.columns else []
         self.store.write(
