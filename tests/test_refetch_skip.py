@@ -125,3 +125,44 @@ def test_flag_off_visited_schema_unchanged(spark, tmp_path):
     man = eng.store.read_manifest()
     cols = eng.store.read_visited(spark, man).columns
     assert "content_hash" not in cols  # default path is byte-identical
+
+
+def test_mixed_changed_and_unchanged_in_one_wave(spark, tmp_path):
+    """One resume wave with BOTH paths: b unchanged (not_modified, no
+    parse), c changed (full fetch+parse) — per-row classification, not
+    per-wave."""
+    fx = _fixture()
+    store = str(tmp_path / "s")
+    CrawlEngine(spark, fx.config, store).run(fixture=fx)
+
+    c = "https://x.example/c"
+    mutated_pages = [
+        _page("https://x.example/a", links=["/b"]),
+        _page(B, links=["/c"]),                      # unchanged
+        _page(c, extra_text=" v2"),                  # changed
+    ]
+    mutated = SiteFixture(
+        scale="refetch", seed=0, pages=mutated_pages,
+        seeds=fx.seeds, robots=[], config=fx.config,
+    )
+
+    eng = CrawlEngine(spark, fx.config, store)
+    eng.expire_visited(
+        spark.createDataFrame([(B,), (c,)], "url_norm string")
+    )
+    man = eng.store.read_manifest()
+    waves_before = man.last_wave + 1
+    seeds = spark.createDataFrame([(B, 0), (c, 0)], "url string, priority int")
+    eng.run(fixture=mutated, resume=True, seeds=seeds)
+    man2 = eng.store.read_manifest()
+    rows = {
+        r["url_norm"]: r
+        for w in range(waves_before, man2.last_wave + 1)
+        if eng.store.has("results", w)
+        for r in eng.store.read(spark, "results", w)
+        .filter(F.col("url_norm").isin(B, c))
+        .filter(F.col("row_kind").isin("fetched", "not_modified"))
+        .collect()
+    }
+    assert rows[B]["row_kind"] == "not_modified" and rows[B]["spans"] is None
+    assert rows[c]["row_kind"] == "fetched" and rows[c]["spans"] is not None
