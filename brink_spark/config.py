@@ -142,6 +142,25 @@ class CrawlConfig:
     # counter that needs a grouped collect. False = throughput profile.
     collect_metrics: bool = True
 
+    def __post_init__(self):
+        # validate in the dataclass (not just from_toml) so a
+        # programmatically-built config with e.g. politeness_key='domain'
+        # fails loudly instead of silently degrading to host mode
+        # (plans/crawl.py keys politeness on 'site' only when the value is
+        # exactly 'site'). replace()/with_() re-run this too.
+        if self.politeness_key not in ("host", "site"):
+            raise ValueError(
+                f"politeness_key must be 'host' or 'site', got {self.politeness_key!r}"
+            )
+        if self.seen_filter not in ("bloom", "cuckoo"):
+            raise ValueError(
+                f"seen_filter must be 'bloom' or 'cuckoo', got {self.seen_filter!r}"
+            )
+        if self.fetch_mode not in ("synthetic", "http"):
+            raise ValueError(
+                f"fetch_mode must be 'synthetic' or 'http', got {self.fetch_mode!r}"
+            )
+
     @property
     def effective_max_content_length(self) -> int:
         return effective_max_content_length(self.max_content_length)

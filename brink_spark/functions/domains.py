@@ -49,11 +49,21 @@ MULTI_LABEL_SUFFIXES: tuple[str, ...] = tuple(
             "com.tr", "net.tr", "org.tr",
             "com.sg", "com.my", "com.hk", "com.tw",
             "com.ua", "com.pl", "com.ru",
-            # private-section, huge-fan-out hosts
+            # private-section, huge-fan-out hosts. Only suffixes the real
+            # PSL lists as BARE 2-label entries (every subdomain is an
+            # independently registrable site) belong here. amazonaws.com
+            # and fastly.net are deliberately ABSENT: the PSL marks only
+            # specific subtrees public (s3.amazonaws.com,
+            # *.compute.amazonaws.com, *.ssl.fastly.net, ...) — 3+-label
+            # rules this 2-label-lite scheme can't express — so hosts like
+            # console.amazonaws.com correctly fall back to the 2-label
+            # rule and share one politeness bucket (over-grouping is safe;
+            # splitting them would under-throttle the operator's own
+            # infrastructure hosts).
             "github.io", "gitlab.io", "blogspot.com", "wordpress.com",
             "herokuapp.com", "appspot.com", "netlify.app", "vercel.app",
             "pages.dev", "web.app", "firebaseapp.com", "cloudfront.net",
-            "amazonaws.com", "azurewebsites.net", "fastly.net",
+            "azurewebsites.net",
         }
     )
 )

@@ -287,6 +287,20 @@ class CrawlEngine:
             # join wave 0 as ordinary seeds (their mapped priority decides
             # fetch order). The entry list collect is bounded: seed lists
             # are human-provided config, never corpus-sized.
+            if self.config.sitemap_discovery and self.pages is None:
+                # http mode has no pages table to resolve robots/sitemap
+                # bodies against — warn instead of silently no-opping the
+                # accepted TOML key (a live-crawl sitemap fetch stage is a
+                # deliberate non-goal: wave-0 bootstrap would need its own
+                # fetch round-trip before the frontier exists)
+                import warnings
+
+                warnings.warn(
+                    "sitemap_discovery=True but the engine has no pages "
+                    "table (fetch_mode='http'): no sitemap seeds will be "
+                    "discovered",
+                    stacklevel=2,
+                )
             if self.config.sitemap_discovery and self.pages is not None:
                 from brink_spark.sources.sitemap import discover_sitemap_seeds
 
@@ -815,7 +829,7 @@ class CrawlEngine:
             cfg.politeness_salts,
             host_counts=self._host_taken,
             max_pages_per_host=cfg.max_pages_per_host,
-            key=cfg.politeness_key if cfg.politeness_key == "site" else "host",
+            key=cfg.politeness_key,  # validated in CrawlConfig.__post_init__
         )
         unit_flags = units.select("url_norm", "_robots_denied").join(
             polite.select("url_norm", "_eligible", "_host_capped"),

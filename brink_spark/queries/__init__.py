@@ -12,51 +12,80 @@ from brink_spark.queries.pipeline import PIPELINE_QUERIES
 from brink_spark.queries.sketches import SKETCH_QUERIES
 
 # Driver-row rotation: the round driver evaluates (at most) the FIRST 50
-# registry entries — round 3 recorded rows for exactly positions 0-49 of
-# 53. Queries that do not yet have a driver-green CORRECTNESS row from a
-# prior round are therefore ordered FIRST, so every query earns a hard
-# driver row within a round of being added; the entries rotated past
-# position 50 all carry a green row from the previous round's record (and
-# every entry, regardless of position, is checked by the local mirror,
-# tools/check_queries.py).
-_NEED_DRIVER_ROW = [
-    # absent from CORRECTNESS_r03.json (registered late in round 3):
-    "source_rollup",
-    "vocab_stats",
-    "pii_scrub",
-    # new in round 4:
-    "sales_opportunity",
-    "supplier_parts_distinct",
-    "top_parts_per_supplier",
-    "revenue_rollup",
-    "events_funnel",
-    "dedup_clusters_converged",
-    "brand_year_trend",
-    "customer_running_total",
-    "value_percentiles",
-    "events_hopping",
-    "events_retention",
-    "supplier_market_share",
-    "sitemap_seeds",
-    "graph_hits",
-    "events_session_window",
-    "events_pivot",
-    "events_cube",
-    "graph_triangles",
-    "basket_pairs",
-    "events_zscore_outliers",
-    "sketch_distinct_users",
-    "graph_components_2phase",
+# registry entries, so ordering IS the hard-signal schedule. Policy
+# (tools/rotation.py regenerates this list; tests/test_rotation.py
+# enforces invariant 1 against the newest CORRECTNESS_r*.json on disk):
+#   1. queries with NO driver-green row from ANY round come first — every
+#      query earns a hard row within one round of being registered;
+#   2. then queries whose newest green row is OLDEST (stalest-first), so
+#      every query re-earns a hard row every ~2 rounds instead of
+#      coasting forever on one green record;
+#   3. queries whose code was touched this round are promoted within
+#      their tier.
+# Every entry, regardless of position, is still checked by the local
+# mirror (tools/check_queries.py) each round.
+_DRIVER_GATE_ORDER = [
+    # --- tier 1: no driver row from any round (registered late in r4) ---
+    "returned_revenue",
+    "waiting_suppliers",
+    "min_cost_supplier",
+    "important_parts",
+    "nation_market_share",
+    "dominant_suppliers",
+    "small_qty_revenue",
+    "late_priority_lines",
+    "discount_forecast",
+    # --- tier 2: newest green row is r3 (stalest) ---
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "embed_neardup",
+    "ann_bruteforce_topk",
+    "ann_lsh_buckets",
+    "text_quality",
+    "text_langid",
+    "doc_fingerprint",
+    "multimodal_features",
+    "dedup_simhash",
+    "embed_neardup_lsh",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "span_explode",
+    "text_langid_ngram",
+    "pipeline_end_to_end",
+    "doc_rolling_hash",
+    "token_stats_by_lang",
+    "token_bpe_stats",
+    "events_asof_join",
+    "events_range_join",
+    "tfidf_top_terms",
+    "sample_stratified",
+    "dedup_clusters",
+    "repetition_stats",
+    "decontaminate",
+    "lm_score_bigram",
+    "dedup_chunks",
+    # --- tier 3 (r4-green, code touched in round 5: pagerank cut fix,
+    #     jaccard boundary fix, PSL-lite list trim) ---
+    "graph_pagerank",
     "dedup_jaccard_prefix",
-    "dedup_incremental",
-    "multimodal_frame_sample",
     "url_registrable_domain",
+    # --- tier 3 fill: r4-green, oldest registrations first ---
+    "order_priority",
+    "customer_order_distribution",
+    "url_normalize_dedup",
+    "frontier_anti_join",
+    "cached_dispatch",
+    "politeness_topk",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_orders",
 ]
 
 _MERGED: dict = {**RELATIONAL_QUERIES, **PIPELINE_QUERIES, **SKETCH_QUERIES}
 ALL_QUERIES: dict = {
-    **{k: _MERGED[k] for k in _NEED_DRIVER_ROW},
-    **{k: v for k, v in _MERGED.items() if k not in _NEED_DRIVER_ROW},
+    **{k: _MERGED[k] for k in _DRIVER_GATE_ORDER},
+    **{k: v for k, v in _MERGED.items() if k not in _DRIVER_GATE_ORDER},
 }
 
 

@@ -143,17 +143,23 @@ def q_dedup_ngram_jaccard(spark, sf):
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    # filter on the UNROUNDED ratio (matching the oracle's WHERE clause);
+    # rounding happens only on the emitted column — otherwise a pair with
+    # true J in [0.49995, 0.5) would pass here but fail the oracle
     return (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
-            ),
+            "_j_raw",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
         )
-        .filter(F.col("jaccard") >= 0.5)
-        .select("doc_a", "doc_b", "n_inter", "jaccard")
+        .filter(F.col("_j_raw") >= 0.5)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            F.round("_j_raw", 4).alias("jaccard"),
+        )
     )
 
 
@@ -234,15 +240,20 @@ def q_dedup_jaccard_prefix(spark, sf):
         .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
+    # same boundary discipline as q_dedup_ngram_jaccard: filter on the
+    # unrounded ratio (the oracle's WHERE clause), round only the output
     return (
         inter.withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
-            ),
+            "_j_raw",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
         )
-        .filter(F.col("jaccard") >= t)
-        .select("doc_a", "doc_b", "n_inter", "jaccard")
+        .filter(F.col("_j_raw") >= t)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            F.round("_j_raw", 4).alias("jaccard"),
+        )
     )
 
 

@@ -569,11 +569,14 @@ def q_graph_pagerank(spark, sf):
         .distinct()
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    # lineage cuts: edges/nodes are re-referenced every round and ranks
-    # feeds both the contrib join and the next round — without cuts the
-    # plan re-derives the events scan per round (iterate.py rationale)
-    edges = _cut(edges)
-    nodes = _cut(nodes)
+    # NO lineage cuts here: with a FIXED 3-round unroll the logical tree
+    # is bounded (2^3 references), Catalyst reuses the exchange for the
+    # repeated events scan, and each eager localCheckpoint would cost a
+    # full materialization job — 5 cuts more than tripled this query's
+    # wall time in round 4 (0.65 s → 1.8-2.2 s). Cut-per-round remains
+    # the right trade ONLY for unbounded/converged loops (iterate.py —
+    # used by min_label_propagate and two_phase_components), where plan
+    # growth is exponential in an unknown round count.
     ranks = nodes.withColumn("rank", F.lit(1_000_000).cast("bigint"))
     for _ in range(3):
         contrib = (
@@ -582,16 +585,14 @@ def q_graph_pagerank(spark, sf):
             .select("dst", F.expr("rank div d").alias("c"))
         )
         insum = contrib.groupBy("dst").agg(F.sum("c").alias("insum"))
-        ranks = _cut(
-            nodes.join(
-                insum.withColumnRenamed("dst", "node"), "node", "left"
-            ).select(
-                "node",
-                (
-                    F.lit(150_000)
-                    + F.expr("(85 * coalesce(insum, 0L)) div 100")
-                ).cast("bigint").alias("rank"),
-            )
+        ranks = nodes.join(
+            insum.withColumnRenamed("dst", "node"), "node", "left"
+        ).select(
+            "node",
+            (
+                F.lit(150_000)
+                + F.expr("(85 * coalesce(insum, 0L)) div 100")
+            ).cast("bigint").alias("rank"),
         )
     return ranks.select("node", F.col("rank").alias("rank_x1e6"))
 
