@@ -75,6 +75,14 @@ HEADLINE = [
     "events_session_window",
     "sketch_distinct_users",
     "multimodal_frame_sample",
+    # round-5 additions (queries/training.py corpus-curation suite)
+    "containment_pairs",
+    "dedup_keep_best",
+    "chunk_first_occurrence",
+    "split_assign",
+    "source_balance",
+    "inverted_index",
+    "embed_kmeans_assign",
 ]
 
 CRAWL_WAVES = 10

@@ -10,6 +10,7 @@ summation-order differences between engines can't flip the hash.
 from brink_spark.queries.relational import RELATIONAL_QUERIES
 from brink_spark.queries.pipeline import PIPELINE_QUERIES
 from brink_spark.queries.sketches import SKETCH_QUERIES
+from brink_spark.queries.training import TRAINING_QUERIES
 
 # Driver-row rotation: the round driver evaluates (at most) the FIRST 50
 # registry entries, so ordering IS the hard-signal schedule. Policy
@@ -35,6 +36,14 @@ _DRIVER_GATE_ORDER = [
     "small_qty_revenue",
     "late_priority_lines",
     "discount_forecast",
+    # --- tier 1: new in round 5 (queries/training.py) ---
+    "containment_pairs",
+    "dedup_keep_best",
+    "chunk_first_occurrence",
+    "split_assign",
+    "source_balance",
+    "inverted_index",
+    "embed_kmeans_assign",
     # --- tier 2: newest green row is r3 (stalest) ---
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -73,16 +82,14 @@ _DRIVER_GATE_ORDER = [
     # --- tier 3 fill: r4-green, oldest registrations first ---
     "order_priority",
     "customer_order_distribution",
-    "url_normalize_dedup",
-    "frontier_anti_join",
-    "cached_dispatch",
-    "politeness_topk",
-    "pricing_summary",
-    "revenue_by_nation",
-    "top_orders",
 ]
 
-_MERGED: dict = {**RELATIONAL_QUERIES, **PIPELINE_QUERIES, **SKETCH_QUERIES}
+_MERGED: dict = {
+    **RELATIONAL_QUERIES,
+    **PIPELINE_QUERIES,
+    **SKETCH_QUERIES,
+    **TRAINING_QUERIES,
+}
 ALL_QUERIES: dict = {
     **{k: _MERGED[k] for k in _DRIVER_GATE_ORDER},
     **{k: v for k, v in _MERGED.items() if k not in _DRIVER_GATE_ORDER},
