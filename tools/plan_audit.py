@@ -38,6 +38,7 @@ BNLJ_WHITELIST = {
     "vocab_stats": "corpus-total token count — 1-row build side",
     "repetition_stats": "corpus-level denominators — 1-row build side",
     "sales_opportunity": "acctbal threshold scalar (Q22 shape) — 1-row build side",
+    "inverted_index": "corpus doc-count scalar (relative df cap) — 1-row build side",
     # constant parameter tables: the build side is O(k) config rows
     # (hash-permutation seeds / IVF centroids / simhash bit-planes), not
     # data — the cross join fans each row out k ways by construction
@@ -45,6 +46,9 @@ BNLJ_WHITELIST = {
     "dedup_incremental": "inherits dedup_minhash_lsh's permutation-seed cross join",
     "dedup_simhash": "bit-plane table cross join — O(k) constant build side",
     "ann_ivf_topk": "centroid table cross join — O(k) constant build side",
+    "embed_kmeans_assign": "K=8 seed-centroid cross join — O(k) constant "
+    "build side (the Lloyd assignment step fans each vector out K ways "
+    "by construction)",
     # the one deliberate all-pairs plan in the suite:
     "ann_bruteforce_topk": "documented brute-force baseline (NOT-equal join); "
     "scale paths are ann_lsh_topk / ann_ivf_topk",
