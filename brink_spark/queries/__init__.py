@@ -44,6 +44,9 @@ _DRIVER_GATE_ORDER = [
     "source_balance",
     "inverted_index",
     "embed_kmeans_assign",
+    # --- tier 1: new in round 5 (queries/sketches.py) ---
+    "sketch_heavy_hitters",
+    "sketch_quantile_check",
     # --- tier 2: newest green row is r3 (stalest) ---
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -79,9 +82,6 @@ _DRIVER_GATE_ORDER = [
     "graph_pagerank",
     "dedup_jaccard_prefix",
     "url_registrable_domain",
-    # --- tier 3 fill: r4-green, oldest registrations first ---
-    "order_priority",
-    "customer_order_distribution",
 ]
 
 _MERGED: dict = {
