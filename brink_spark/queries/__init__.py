@@ -47,6 +47,7 @@ _DRIVER_GATE_ORDER = [
     # --- tier 1: new in round 5 (queries/sketches.py) ---
     "sketch_heavy_hitters",
     "sketch_quantile_check",
+    "ann_ivf_kmeans_topk",
     # --- tier 2: newest green row is r3 (stalest) ---
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -76,7 +77,6 @@ _DRIVER_GATE_ORDER = [
     "repetition_stats",
     "decontaminate",
     "lm_score_bigram",
-    "dedup_chunks",
     # --- tier 3 (r4-green, code touched in round 5: pagerank cut fix,
     #     jaccard boundary fix, PSL-lite list trim) ---
     "graph_pagerank",

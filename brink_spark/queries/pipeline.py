@@ -831,6 +831,232 @@ SELECT query_id, neighbor_id, rank FROM (
 
 
 # --------------------------------------------------------------------------
+# IVF with TRAINED centroids: integer-exact Lloyd k-means
+#
+# q_ann_ivf_topk stands in hash-derived seed centroids for the offline
+# training pass; production IVF trains the coarse quantizer (k-means‖).
+# This variant runs the training FOR REAL and stays hash-gateable by
+# making every training step bit-deterministic across Spark, the Python
+# driver, and the DuckDB oracle:
+#   * vectors NORMALIZED then quantized: q_i = floor(x_i/‖x‖ * 1000 + 0.5).
+#     Normalizing first aligns the training metric with the search metric
+#     (squared L2 on the unit sphere is monotone in cosine: ‖u−v‖² =
+#     2−2cos), so lists partition by DIRECTION, not magnitude — without it
+#     Lloyd collapses by vector norm (measured: max list 53/135 vs 13/135,
+#     recall 0.70 vs 0.80 at equal nprobe on the planted fixture). Every
+#     step is the same IEEE double sequence on all three engines: squares
+#     of float32 values are exact in float64, the norm is the same
+#     left-fold sum + sqrt, and /‖x‖ * 1000 + 0.5 associates identically
+#     ((x/n)*1000)+0.5 in both expression syntaxes; floor of the shared
+#     double is therefore the same int64 everywhere (zero vectors map to
+#     the zero code via the same CASE guard on both sides).
+#   * assignment metric = exact int64 squared L2, ties to lower cent_id;
+#   * centroid update = round-half-up mean floor((2*S + n) / (2*n)):
+#     S, n exact int64 sums (order-independent), the one double division
+#     has exactly-representable operands, so FLOOR agrees everywhere.
+# Scale shape: per iteration one broadcast of the K×D int matrix (16×64
+# longs ≈ 8 KiB), one scan with a K-way codegen distance fold, one
+# partial-agg groupBy(cent_id) of D sums — only K×(D+1) longs ever reach
+# the driver (the cookie-jar bounded-state precedent, plans/crawl.py).
+# The fact table is scanned ITERS+1 times and shuffled only by cent_id.
+
+
+IVF_KMEANS_K = 16
+IVF_KMEANS_ITERS = 3
+IVF_KMEANS_NPROBE = 2
+EMB_DIM = 64
+_QUANT = 1000
+
+
+def _qvec(col="embedding"):
+    """Normalize-then-quantize as a single Catalyst expression (self-
+    contained so the norm travels with the transform; recomputing the
+    64-term fold per element is ~4k flops/row — codegen noise)."""
+    nrm = (
+        f"sqrt(aggregate(transform({col},"
+        " x -> cast(x as double) * cast(x as double)),"
+        " 0D, (acc, v) -> acc + v))"
+    )
+    return F.expr(
+        f"transform({col}, x -> cast(floor(case when {nrm} = 0D then 0D"
+        f" else cast(x as double) / {nrm} * {float(_QUANT)}D + 0.5D end)"
+        " as bigint))"
+    )
+
+
+def _ivf_kmeans_train(spark, e):
+    """Lloyd iterations over quantized vectors; returns {cent_id: [int]*D}.
+
+    e: DataFrame(vec_id long, qv array<long>). Driver state is K×(D+1)
+    longs per iteration — bounded, never O(rows)."""
+    import math
+
+    cents = {
+        r["vec_id"]: list(r["qv"])
+        for r in e.filter(F.col("vec_id") < IVF_KMEANS_K).collect()
+    }
+    d2 = F.expr(
+        "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)),"
+        " 0L, (acc, v) -> acc + v)"
+    )
+    for _ in range(IVF_KMEANS_ITERS):
+        cdf = spark.createDataFrame(
+            [(cid, cv) for cid, cv in sorted(cents.items())],
+            "cent_id long, cv array<long>",
+        )
+        w = Window.partitionBy("vec_id").orderBy("d2", "cent_id")
+        assigned = (
+            e.crossJoin(F.broadcast(cdf))
+            .withColumn("d2", d2)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+        )
+        sums = [
+            F.sum(F.element_at("qv", i + 1)).alias(f"s{i}") for i in range(EMB_DIM)
+        ]
+        stats = assigned.groupBy("cent_id").agg(
+            *sums, F.count(F.lit(1)).alias("n")
+        ).collect()
+        for r in stats:  # empty clusters keep their previous centroid
+            n = r["n"]
+            cents[r["cent_id"]] = [
+                math.floor((2 * r[f"s{i}"] + n) / (2 * n)) for i in range(EMB_DIM)
+            ]
+    return cents
+
+
+def q_ann_ivf_kmeans_topk(spark, sf):
+    """IVF top-5 with a TRAINED coarse quantizer: 3 integer-exact Lloyd
+    iterations from the vec_id<16 seeds, then the standard IVF dataflow —
+    assign every vector to its nearest trained centroid (squared-L2 on the
+    quantized ints, the training metric), queries (vec_id<10) probe their
+    nprobe=2 nearest lists, exact double-cosine re-rank to top-5. Every
+    pre-re-rank comparison is int64-exact, so the whole plan is
+    hash-gateable. Recall contract (tests/test_pipeline_scale.py): on
+    CLUSTERED data — the regime IVF training exists for — the trained
+    quantizer beats the seed-centroid variant at equal nprobe (measured
+    1.00 vs 0.68); on isotropic data random seeds are already near-optimal
+    centroids, so the contract there is a recall floor plus balanced lists
+    at comparable candidate cost, not dominance."""
+    e = _emb(spark, sf).select("vec_id", _qvec().alias("qv"))
+    cents = _ivf_kmeans_train(spark, e)
+    cdf = spark.createDataFrame(
+        [(cid, cv) for cid, cv in sorted(cents.items())],
+        "cent_id long, cv array<long>",
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)),"
+        " 0L, (acc, v) -> acc + v)"
+    )
+    wv = Window.partitionBy("vec_id").orderBy("d2", "cent_id")
+    ranked = (
+        e.crossJoin(F.broadcast(cdf))
+        .withColumn("d2", d2)
+        .withColumn("crank", F.row_number().over(wv))
+    )
+    assign = ranked.filter(F.col("crank") == 1).select("vec_id", "cent_id")
+    probes = ranked.filter(
+        (F.col("vec_id") < 10) & (F.col("crank") <= IVF_KMEANS_NPROBE)
+    ).select(F.col("vec_id").alias("query_id"), "cent_id")
+    cands = (
+        probes.join(assign, "cent_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    ed = _emb_double(spark, sf).withColumn("nrm", F.expr(_NORM))
+    va = ed.select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("ea"), F.col("nrm").alias("na")
+    )
+    vb = ed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    dot = "aggregate(zip_with(ea, eb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    scored = (
+        cands.join(va, "query_id")
+        .join(vb, "neighbor_id")
+        .withColumn("cosine", F.expr(dot) / (F.col("na") * F.col("nb")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def _sql_ivf_kmeans() -> str:
+    """Unrolled-iteration DuckDB mirror of the integer-exact Lloyd loop."""
+    d2 = (
+        "(SELECT SUM((x - y) * (x - y))"
+        " FROM (SELECT unnest(v.qv) AS x, unnest(c.cv) AS y))"
+    )
+
+    def assign_cte(name, prev):
+        return f"""{name} AS (
+  SELECT vec_id, qv, cent_id FROM (
+    SELECT v.vec_id, v.qv, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {d2} ASC, c.cent_id ASC) AS rn
+    FROM q v CROSS JOIN {prev} c) WHERE rn = 1)"""
+
+    def update_cte(name, prev, a):
+        return f"""{name} AS (
+  SELECT p.cent_id, COALESCE(u.cv, p.cv) AS cv FROM {prev} p LEFT JOIN (
+    SELECT cent_id, list(cval ORDER BY p) AS cv FROM (
+      SELECT cent_id, p,
+             CAST(FLOOR((2.0 * SUM(qv[p]) + COUNT(*)) / (2.0 * COUNT(*)))
+                  AS BIGINT) AS cval
+      FROM {a} CROSS JOIN pos GROUP BY cent_id, p) GROUP BY cent_id
+  ) u USING (cent_id))"""
+
+    ctes = [
+        f"pos AS (SELECT unnest(generate_series(1, {EMB_DIM})) AS p)",
+        f"""q AS (
+  SELECT vec_id, list_transform(embedding,
+           x -> CAST(FLOOR(CASE WHEN nrm = 0 THEN 0
+                           ELSE CAST(x AS DOUBLE) / nrm * {float(_QUANT)} + 0.5
+                           END) AS BIGINT)) AS qv
+  FROM (SELECT vec_id, embedding, {_SQL_NRM} AS nrm FROM embeddings))""",
+        f"c0 AS (SELECT vec_id AS cent_id, qv AS cv FROM q WHERE vec_id < {IVF_KMEANS_K})",
+    ]
+    for t in range(1, IVF_KMEANS_ITERS + 1):
+        ctes.append(assign_cte(f"a{t}", f"c{t - 1}"))
+        ctes.append(update_cte(f"c{t}", f"c{t - 1}", f"a{t}"))
+    T = IVF_KMEANS_ITERS
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined},
+rankedf AS (
+  SELECT v.vec_id, c.cent_id,
+         ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                            ORDER BY {d2} ASC, c.cent_id ASC) AS crank
+  FROM q v CROSS JOIN c{T} c),
+assign AS (SELECT vec_id, cent_id FROM rankedf WHERE crank = 1),
+probes AS (SELECT vec_id AS query_id, cent_id FROM rankedf
+           WHERE vec_id < 10 AND crank <= {IVF_KMEANS_NPROBE}),
+cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a USING (cent_id)
+  WHERE p.query_id <> a.vec_id),
+n AS (SELECT vec_id, embedding, {_SQL_NRM} AS nrm FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, {_SQL_DOT} / (a.nrm * b.nrm) AS cosine
+  FROM cand JOIN n a ON a.vec_id = query_id JOIN n b ON b.vec_id = neighbor_id)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored) WHERE rank <= 5
+"""
+
+
+SQL_ANN_IVF_KMEANS_TOPK = _sql_ivf_kmeans()
+
+
+# --------------------------------------------------------------------------
 # text analysis
 
 
@@ -1968,6 +2194,7 @@ PIPELINE_QUERIES = {
     "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_ANN_LSH),
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
+    "ann_ivf_kmeans_topk": (q_ann_ivf_kmeans_topk, SQL_ANN_IVF_KMEANS_TOPK),
     "span_explode": (q_span_explode, SQL_SPAN_EXPLODE),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),

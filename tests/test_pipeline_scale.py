@@ -184,6 +184,106 @@ def test_ann_ivf_topk_is_sound(spark):
             assert r["rank"] <= brute[key]
 
 
+def _topk_recall(approx_rows, brute_rows):
+    """Fraction of brute-force top-5 (query, neighbor) pairs the
+    approximate index recovers."""
+    truth = {(r["query_id"], r["neighbor_id"]) for r in brute_rows}
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx_rows}
+    return len(truth & got) / len(truth)
+
+
+@pytest.fixture(scope="module")
+def clustered_dir(spark, tmp_path_factory):
+    """150 points in 16 well-separated direction clusters, with the first
+    16 points (= the untrained variant's seed centroids) drawn from only 4
+    of those clusters — the regime IVF TRAINING exists for: seed centroids
+    leave 12 clusters uncovered, Lloyd recovers them."""
+    rng = np.random.RandomState(11)
+    centers = rng.randn(16, 64)
+    centers /= np.sqrt((centers**2).sum(1))[:, None]
+    labels = np.concatenate([rng.choice(4, 16), rng.choice(16, 134)])
+    mat = (centers[labels] + 0.08 * rng.randn(150, 64)).astype(np.float32)
+    d = tmp_path_factory.mktemp("clustered")
+    _write_embeddings(spark, str(d), mat)
+    return str(d)
+
+
+def test_ann_ivf_kmeans_beats_untrained_on_clustered(spark, clustered_dir):
+    """On clustered data the trained coarse quantizer must beat the
+    seed-centroid variant at equal nprobe: the seeds cover only 4 of 16
+    true clusters, so untrained probing misses whole regions, while Lloyd
+    redistributes the centroids onto the real structure (numpy mirror of
+    the exact integer pipeline measures 1.00 vs 0.68)."""
+    from brink_spark.queries.pipeline import (
+        q_ann_bruteforce_topk,
+        q_ann_ivf_kmeans_topk,
+        q_ann_ivf_topk,
+    )
+
+    brute = q_ann_bruteforce_topk(spark, clustered_dir).collect()
+    r_kmeans = _topk_recall(
+        q_ann_ivf_kmeans_topk(spark, clustered_dir).collect(), brute
+    )
+    r_seed = _topk_recall(q_ann_ivf_topk(spark, clustered_dir).collect(), brute)
+    assert r_kmeans > r_seed, (r_kmeans, r_seed)
+    assert r_kmeans >= 0.9, r_kmeans
+
+
+def test_ann_ivf_kmeans_recall_floor_on_isotropic(spark, planted_dir):
+    """On ISOTROPIC data (the planted-dup fixture: random Gaussian
+    directions) random seed vectors are already near-optimal centroids, so
+    dominance over the untrained variant is not a physics-valid claim —
+    the honest contract is a recall floor at the same nprobe=2/nlist=16
+    operating point (measured 0.80; the normalize-then-quantize step is
+    what keeps the lists direction-balanced, max list 13/135 vs 53/135
+    unnormalized)."""
+    from brink_spark.queries.pipeline import (
+        q_ann_bruteforce_topk,
+        q_ann_ivf_kmeans_topk,
+    )
+
+    brute = q_ann_bruteforce_topk(spark, planted_dir).collect()
+    r_kmeans = _topk_recall(q_ann_ivf_kmeans_topk(spark, planted_dir).collect(), brute)
+    assert r_kmeans >= 0.75, r_kmeans
+
+
+def test_ann_ivf_kmeans_is_sound(spark):
+    """Same exact-re-rank soundness contract as the untrained variant."""
+    from brink_spark.queries.pipeline import (
+        q_ann_bruteforce_topk,
+        q_ann_ivf_kmeans_topk,
+    )
+
+    ivf = q_ann_ivf_kmeans_topk(spark, SF_SMALL).collect()
+    assert len(ivf) > 0
+    brute = {
+        (r["query_id"], r["neighbor_id"]): r["rank"]
+        for r in q_ann_bruteforce_topk(spark, SF_SMALL).collect()
+    }
+    for r in ivf:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in brute:
+            assert r["rank"] <= brute[key]
+
+
+def test_ann_ivf_kmeans_empty_cluster_keeps_centroid(spark):
+    """An empty Lloyd cluster keeps its previous centroid (both engines
+    guard this the same way; here the Spark side is pinned directly):
+    only two distinct quantized codes exist (one shared direction + the
+    zero code — the all-zero rows also pin the nrm=0 CASE guard), so at
+    least 14 of the 16 seeds lose every vector, and training must still
+    return K full-width centroids."""
+    import brink_spark.queries.pipeline as P
+
+    rows = [(i, [float(i < 2) * 100.0] * 64) for i in range(20)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>").select(
+        "vec_id", P._qvec().alias("qv")
+    )
+    cents = P._ivf_kmeans_train(spark, e)
+    assert len(cents) == P.IVF_KMEANS_K
+    assert all(len(v) == P.EMB_DIM for v in cents.values())
+
+
 def test_no_hot_key_window_on_similarity_path(spark):
     """The df/bucket caps must be the two-pass partial-agg + broadcast-anti
     form, never a count window partitioned by the hot key (a window routes
