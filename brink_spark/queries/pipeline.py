@@ -1057,6 +1057,247 @@ SQL_ANN_IVF_KMEANS_TOPK = _sql_ivf_kmeans()
 
 
 # --------------------------------------------------------------------------
+# Product Quantization + ADC scan: the memory-bounded ANN path
+#
+# IVF bounds the SCAN (probe a few lists); PQ bounds the MEMORY: each
+# vector is stored as PQ_M=4 one-byte codes instead of 64 floats (64×
+# compression), and queries scan the code table with an Asymmetric
+# Distance Computation lookup — approx_d2(q, v) = Σ_s LUT_q[s][code_v[s]]
+# where LUT_q is the query's precomputed distance from each sub-centroid.
+# At 100 TB this is THE layout that fits an exhaustive ANN scan in
+# executor memory: the broadcast side is queries×M×K lookup longs, the
+# scan side reads only the M-byte codes (column-pruned off the raw
+# embeddings), and the whole ranking is one broadcast-join + partial-agg
+# sum — no shuffle of vector data at all. Re-rank then touches only
+# PQ_CAND rows per query.
+#
+# Training reuses the integer-exact Lloyd kernel on normalize-then-
+# quantized vectors, run JOINTLY for all M subspaces in one Spark job per
+# iteration (sub_id rides the group key), so the hash-gate argument is
+# identical to ann_ivf_kmeans_topk: every pre-re-rank comparison is
+# int64-exact on all three engines. Recall at the operating point
+# (M=4, K=16, CAND=30) is pinned by tests/test_pipeline_scale.py:
+# ≥0.8 isotropic / ≥0.95 clustered (numpy mirror: 0.86 / 1.00).
+
+
+PQ_M = 4
+PQ_SUBDIM = 16
+PQ_K = 16
+PQ_ITERS = 3
+PQ_CAND = 30
+
+
+def _pq_subvecs(spark, sf):
+    """(vec_id, sub_id, sqv): normalize-quantized vectors split into PQ_M
+    contiguous PQ_SUBDIM-wide subspaces."""
+    e = _emb(spark, sf).select("vec_id", _qvec().alias("qv"))
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub_id"),
+                F.slice("qv", s * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sqv"),
+            )
+            for s in range(PQ_M)
+        ]
+    )
+    return e.select("vec_id", F.explode(pairs).alias("s")).select(
+        "vec_id", F.col("s.sub_id").alias("sub_id"), F.col("s.sqv").alias("sqv")
+    )
+
+
+def _pq_d2():
+    return F.expr(
+        "aggregate(zip_with(sqv, cv, (x, y) -> (x - y) * (x - y)),"
+        " 0L, (acc, v) -> acc + v)"
+    )
+
+
+def _pq_train(spark, sv):
+    """Joint Lloyd over all PQ_M sub-codebooks: one broadcast join + one
+    partial-agg groupBy per iteration covers every subspace (sub_id is
+    just another group key). Driver state: M×K×(SUBDIM+1) longs."""
+    import math
+
+    cents = {
+        (r["sub_id"], r["vec_id"]): list(r["sqv"])
+        for r in sv.filter(F.col("vec_id") < PQ_K).collect()
+    }
+    for _ in range(PQ_ITERS):
+        cdf = spark.createDataFrame(
+            [(s, c, cv) for (s, c), cv in sorted(cents.items())],
+            "sub_id int, cent_id long, cv array<long>",
+        )
+        w = Window.partitionBy("vec_id", "sub_id").orderBy("d2", "cent_id")
+        assigned = (
+            sv.join(F.broadcast(cdf), "sub_id")
+            .withColumn("d2", _pq_d2())
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+        )
+        sums = [
+            F.sum(F.element_at("sqv", i + 1)).alias(f"s{i}")
+            for i in range(PQ_SUBDIM)
+        ]
+        stats = (
+            assigned.groupBy("sub_id", "cent_id")
+            .agg(*sums, F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        for r in stats:  # empty sub-clusters keep their previous centroid
+            n = r["n"]
+            cents[(r["sub_id"], r["cent_id"])] = [
+                math.floor((2 * r[f"s{i}"] + n) / (2 * n))
+                for i in range(PQ_SUBDIM)
+            ]
+    return cents
+
+
+def q_ann_pq_adc_topk(spark, sf):
+    """PQ-ADC top-5: train PQ_M=4 sub-codebooks (integer-exact joint
+    Lloyd), encode every vector as 4 centroid codes, rank by the ADC
+    lookup-table distance (int64-exact sum of 4 broadcast lookups — the
+    scan never touches vector data), keep the PQ_CAND=30 closest codes
+    per query, exact double-cosine re-rank to top-5."""
+    sv = _pq_subvecs(spark, sf)
+    cents = _pq_train(spark, sv)
+    cdf = spark.createDataFrame(
+        [(s, c, cv) for (s, c), cv in sorted(cents.items())],
+        "sub_id int, cent_id long, cv array<long>",
+    )
+    w = Window.partitionBy("vec_id", "sub_id").orderBy("d2", "cent_id")
+    codes = (
+        sv.join(F.broadcast(cdf), "sub_id")
+        .withColumn("d2", _pq_d2())
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "sub_id", "cent_id")
+    )
+    lut = (
+        sv.filter(F.col("vec_id") < 10)
+        .join(F.broadcast(cdf), "sub_id")
+        .withColumn("ld2", _pq_d2())
+        .select(F.col("vec_id").alias("query_id"), "sub_id", "cent_id", "ld2")
+    )
+    approx = (
+        codes.join(F.broadcast(lut), ["sub_id", "cent_id"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("ld2").alias("ad2"))
+    )
+    wq = Window.partitionBy("query_id").orderBy("ad2", "vec_id")
+    cands = (
+        approx.withColumn("arn", F.row_number().over(wq))
+        .filter(F.col("arn") <= PQ_CAND)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    ed = _emb_double(spark, sf).withColumn("nrm", F.expr(_NORM))
+    va = ed.select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("ea"), F.col("nrm").alias("na")
+    )
+    vb = ed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    dot = "aggregate(zip_with(ea, eb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    scored = (
+        cands.join(va, "query_id")
+        .join(vb, "neighbor_id")
+        .withColumn("cosine", F.expr(dot) / (F.col("na") * F.col("nb")))
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def _sql_pq_adc() -> str:
+    """Unrolled DuckDB mirror of the joint sub-codebook Lloyd loop + ADC."""
+    d2 = (
+        "(SELECT SUM((x - y) * (x - y))"
+        " FROM (SELECT unnest(v.sqv) AS x, unnest(c.cv) AS y))"
+    )
+    sub_selects = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {s} AS sub_id,"
+        f" qv[{s * PQ_SUBDIM + 1}:{(s + 1) * PQ_SUBDIM}] AS sqv FROM q"
+        for s in range(PQ_M)
+    )
+
+    def assign_cte(name, prev):
+        return f"""{name} AS (
+  SELECT vec_id, sub_id, sqv, cent_id FROM (
+    SELECT v.vec_id, v.sub_id, v.sqv, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub_id
+                              ORDER BY {d2} ASC, c.cent_id ASC) AS rn
+    FROM sv v JOIN {prev} c ON v.sub_id = c.sub_id) WHERE rn = 1)"""
+
+    def update_cte(name, prev, a):
+        return f"""{name} AS (
+  SELECT p.sub_id, p.cent_id, COALESCE(u.cv, p.cv) AS cv
+  FROM {prev} p LEFT JOIN (
+    SELECT sub_id, cent_id, list(cval ORDER BY p) AS cv FROM (
+      SELECT sub_id, cent_id, p,
+             CAST(FLOOR((2.0 * SUM(sqv[p]) + COUNT(*)) / (2.0 * COUNT(*)))
+                  AS BIGINT) AS cval
+      FROM {a} CROSS JOIN pos GROUP BY sub_id, cent_id, p)
+    GROUP BY sub_id, cent_id
+  ) u USING (sub_id, cent_id))"""
+
+    ctes = [
+        f"pos AS (SELECT unnest(generate_series(1, {PQ_SUBDIM})) AS p)",
+        f"""q AS (
+  SELECT vec_id, list_transform(embedding,
+           x -> CAST(FLOOR(CASE WHEN nrm = 0 THEN 0
+                           ELSE CAST(x AS DOUBLE) / nrm * {float(_QUANT)} + 0.5
+                           END) AS BIGINT)) AS qv
+  FROM (SELECT vec_id, embedding, {_SQL_NRM} AS nrm FROM embeddings))""",
+        f"sv AS (\n  {sub_selects})",
+        f"c0 AS (SELECT sub_id, vec_id AS cent_id, sqv AS cv FROM sv WHERE vec_id < {PQ_K})",
+    ]
+    for t in range(1, PQ_ITERS + 1):
+        ctes.append(assign_cte(f"a{t}", f"c{t - 1}"))
+        ctes.append(update_cte(f"c{t}", f"c{t - 1}", f"a{t}"))
+    T = PQ_ITERS
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined},
+rankedf AS (
+  SELECT v.vec_id, v.sub_id, c.cent_id,
+         ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub_id
+                            ORDER BY {d2} ASC, c.cent_id ASC) AS crank
+  FROM sv v JOIN c{T} c ON v.sub_id = c.sub_id),
+codes AS (SELECT vec_id, sub_id, cent_id FROM rankedf WHERE crank = 1),
+lut AS (
+  SELECT v.vec_id AS query_id, c.sub_id, c.cent_id, {d2} AS ld2
+  FROM sv v JOIN c{T} c ON v.sub_id = c.sub_id WHERE v.vec_id < 10),
+approx AS (
+  SELECT l.query_id, co.vec_id, SUM(l.ld2) AS ad2
+  FROM codes co JOIN lut l ON co.sub_id = l.sub_id AND co.cent_id = l.cent_id
+  WHERE l.query_id <> co.vec_id GROUP BY 1, 2),
+cand AS (
+  SELECT query_id, vec_id AS neighbor_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY ad2 ASC, vec_id ASC) AS arn
+    FROM approx) WHERE arn <= {PQ_CAND}),
+n AS (SELECT vec_id, embedding, {_SQL_NRM} AS nrm FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, {_SQL_DOT} / (a.nrm * b.nrm) AS cosine
+  FROM cand JOIN n a ON a.vec_id = query_id JOIN n b ON b.vec_id = neighbor_id)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored) WHERE rank <= 5
+"""
+
+
+SQL_ANN_PQ_ADC_TOPK = _sql_pq_adc()
+
+
+# --------------------------------------------------------------------------
 # text analysis
 
 
@@ -2195,6 +2436,7 @@ PIPELINE_QUERIES = {
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
     "ann_ivf_kmeans_topk": (q_ann_ivf_kmeans_topk, SQL_ANN_IVF_KMEANS_TOPK),
+    "ann_pq_adc_topk": (q_ann_pq_adc_topk, SQL_ANN_PQ_ADC_TOPK),
     "span_explode": (q_span_explode, SQL_SPAN_EXPLODE),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),

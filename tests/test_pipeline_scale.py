@@ -284,6 +284,44 @@ def test_ann_ivf_kmeans_empty_cluster_keeps_centroid(spark):
     assert all(len(v) == P.EMB_DIM for v in cents.values())
 
 
+def test_ann_pq_adc_recall_floors(spark, planted_dir, clustered_dir):
+    """PQ-ADC recall at the operating point (M=4, K=16, CAND=30): the
+    approximate code distance must surface enough true neighbors into the
+    re-rank pool — ≥0.8 on isotropic data, ≥0.95 on clustered data (numpy
+    mirror of the exact integer pipeline: 0.86 / 1.00)."""
+    from brink_spark.queries.pipeline import (
+        q_ann_bruteforce_topk,
+        q_ann_pq_adc_topk,
+    )
+
+    brute_p = q_ann_bruteforce_topk(spark, planted_dir).collect()
+    r_p = _topk_recall(q_ann_pq_adc_topk(spark, planted_dir).collect(), brute_p)
+    assert r_p >= 0.8, r_p
+    brute_c = q_ann_bruteforce_topk(spark, clustered_dir).collect()
+    r_c = _topk_recall(q_ann_pq_adc_topk(spark, clustered_dir).collect(), brute_c)
+    assert r_c >= 0.95, r_c
+
+
+def test_ann_pq_adc_is_sound(spark):
+    """Exact-re-rank soundness: any PQ pair that IS in the brute top-5 can
+    only rank better-or-equal (candidates are a subset, cosine is exact)."""
+    from brink_spark.queries.pipeline import (
+        q_ann_bruteforce_topk,
+        q_ann_pq_adc_topk,
+    )
+
+    pq = q_ann_pq_adc_topk(spark, SF_SMALL).collect()
+    assert len(pq) > 0
+    brute = {
+        (r["query_id"], r["neighbor_id"]): r["rank"]
+        for r in q_ann_bruteforce_topk(spark, SF_SMALL).collect()
+    }
+    for r in pq:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in brute:
+            assert r["rank"] <= brute[key]
+
+
 def test_no_hot_key_window_on_similarity_path(spark):
     """The df/bucket caps must be the two-pass partial-agg + broadcast-anti
     form, never a count window partitioned by the hot key (a window routes
