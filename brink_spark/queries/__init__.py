@@ -49,6 +49,7 @@ _DRIVER_GATE_ORDER = [
     "sketch_quantile_check",
     "ann_ivf_kmeans_topk",
     "ann_pq_adc_topk",
+    "pack_sequences",
     # --- tier 2: newest green row is r3 (stalest) ---
     "dedup_exact",
     "dedup_ngram_jaccard",

@@ -492,7 +492,130 @@ FROM assigned GROUP BY centroid_id
 """
 
 
+# --------------------------------------------------------------------------
+# sequence packing: fixed-width context-window assembly
+#
+# The last step before tokenized text hits the trainer: documents are
+# concatenated in a deterministic order and cut into fixed PACK_WINDOW-
+# token context windows (GPT-style packing with document splitting). The
+# hard part at scale is the GLOBAL running token offset — a naive
+# Window.orderBy() with no partition key funnels the whole corpus through
+# one task. This implementation is the textbook distributed prefix sum:
+#   1. bucket by a DETERMINISTIC range function of the order key — the
+#      first byte of md5(doc_id) maps to pid = byte*P div 256, which is
+#      monotone in the key (bucket order == global order) and uniform
+#      (md5). NOT repartitionByRange: its sampled boundaries differ
+#      between the totals job and the final job (two actions, two
+#      samples), which mis-applies the offsets — observed as mid-stream
+#      703-token windows at sf0.1;
+#   2. per-bucket running sums in parallel (Window by pid);
+#   3. bucket token TOTALS (a partial-agg groupBy, P rows) come to the
+#      driver, turn into P prefix offsets, and broadcast-join back.
+# The result is invariant to the bucket count — pinned by
+# tests/test_training_queries.py running the same input at P=2 and P=16.
+# All arithmetic downstream of the token counts is int64, so the window
+# accounting hash-matches DuckDB's single-ORDER-BY mirror exactly.
+
+
+PACK_WINDOW = 1024
+PACK_PARTS = 16
+
+
+def _pack_spans(spark, sf, parts):
+    """(doc_id, tok_start, cum_end): global token span per doc under the
+    md5(doc_id) concatenation order, via the two-phase prefix sum."""
+    if not 1 <= parts <= 256:
+        raise ValueError(f"parts must be in [1, 256] (one md5 byte), got {parts}")
+    d = _docs(spark, sf).select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    p = d.withColumn(
+        "pid",
+        F.expr(f"int((conv(substring(h, 1, 2), 16, 10) * {parts}) div 256)"),
+    )
+    totals = {
+        r["pid"]: r["tot"]
+        for r in p.groupBy("pid").agg(F.sum("n_tok").alias("tot")).collect()
+    }
+    acc, off = 0, []
+    for pid in sorted(totals):
+        off.append((pid, acc))
+        acc += totals[pid]
+    odf = spark.createDataFrame(off, "pid int, off long")
+    wloc = Window.partitionBy("pid").orderBy("h", "doc_id")
+    return (
+        p.withColumn("loc_end", F.sum("n_tok").over(wloc))
+        .join(F.broadcast(odf), "pid")
+        .select(
+            "doc_id",
+            (F.col("loc_end") + F.col("off") - F.col("n_tok")).alias("tok_start"),
+            (F.col("loc_end") + F.col("off")).alias("cum_end"),
+        )
+    )
+
+
+def q_pack_sequences(spark, sf, parts=PACK_PARTS):
+    """Per-context-window packing report: how many documents land in each
+    PACK_WINDOW-token window, how many tokens it holds (== PACK_WINDOW
+    except the last), and how many documents continue across its right
+    boundary (the attention-masking boundary count trainers need). A doc
+    spanning [tok_start, cum_end) explodes into its floor-div window
+    range — bounded by max_doc_tokens/PACK_WINDOW rows, then one
+    partial-agg groupBy(window_id)."""
+    W = PACK_WINDOW
+    e = _pack_spans(spark, sf, parts)
+    x = e.select(
+        "tok_start",
+        "cum_end",
+        F.explode(
+            F.sequence(
+                F.expr(f"tok_start div {W}"), F.expr(f"(cum_end - 1) div {W}")
+            )
+        ).alias("window_id"),
+    )
+    return x.groupBy("window_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.least(F.col("cum_end"), (F.col("window_id") + 1) * W)
+            - F.greatest(F.col("tok_start"), F.col("window_id") * W)
+        ).alias("n_tokens"),
+        F.sum(
+            F.when(F.col("cum_end") > (F.col("window_id") + 1) * W, 1).otherwise(0)
+        ).cast("bigint").alias("n_continuations"),
+    )
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH t AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tok,
+         CAST(SUM(n_tok) OVER (ORDER BY h, doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS BIGINT)
+           AS cum_end
+  FROM t),
+x AS (
+  SELECT cum_end - n_tok AS tok_start, cum_end,
+         unnest(generate_series((cum_end - n_tok) // {PACK_WINDOW},
+                                (cum_end - 1) // {PACK_WINDOW})) AS window_id
+  FROM c)
+SELECT window_id, COUNT(*) AS n_docs,
+       CAST(SUM(LEAST(cum_end, (window_id + 1) * {PACK_WINDOW})
+                - GREATEST(tok_start, window_id * {PACK_WINDOW})) AS BIGINT)
+         AS n_tokens,
+       CAST(SUM(CASE WHEN cum_end > (window_id + 1) * {PACK_WINDOW}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_continuations
+FROM x GROUP BY 1
+"""
+
+
 TRAINING_QUERIES = {
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "containment_pairs": (q_containment_pairs, SQL_CONTAINMENT),
     "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
     "chunk_first_occurrence": (

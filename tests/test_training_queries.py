@@ -186,3 +186,43 @@ def test_kmeans_assigns_every_vector_once(spark):
     by_cid = {r["centroid_id"]: r for r in rows}
     for cid in by_cid:
         assert by_cid[cid]["min_vec_id"] <= cid
+
+
+# --------------------------------------------------------------------------
+# sequence packing: partition invariance + token conservation
+
+
+def test_pack_sequences_invariant_to_partition_count(spark):
+    """The two-phase prefix sum must produce identical windows no matter
+    how the range partitioner splits the corpus — the broadcast offsets
+    correct any boundary placement."""
+    from brink_spark.queries.training import q_pack_sequences
+
+    a = sorted(map(tuple, q_pack_sequences(spark, SF, parts=2).collect()))
+    b = sorted(map(tuple, q_pack_sequences(spark, SF, parts=16).collect()))
+    assert a == b
+
+
+def test_pack_sequences_conservation_laws(spark):
+    """Every window except the last holds exactly PACK_WINDOW tokens,
+    window ids are contiguous from 0, the per-window token counts sum to
+    the corpus total (each token packed exactly once), and boundary
+    continuations never exceed the window's doc count."""
+    from brink_spark.queries.training import PACK_WINDOW, q_pack_sequences
+
+    rows = sorted(q_pack_sequences(spark, SF).collect(), key=lambda r: r["window_id"])
+    assert [r["window_id"] for r in rows] == list(range(len(rows)))
+    for r in rows[:-1]:
+        assert r["n_tokens"] == PACK_WINDOW, r
+    assert 0 < rows[-1]["n_tokens"] <= PACK_WINDOW
+    total = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(F.sum(F.size(F.split("text", " "))).alias("t"))
+        .collect()[0]["t"]
+    )
+    assert sum(r["n_tokens"] for r in rows) == total
+    for r in rows:
+        assert 0 <= r["n_continuations"] <= r["n_docs"]
+    # a continuation in window w is a doc that is also present in w+1
+    for r, nxt in zip(rows, rows[1:]):
+        assert nxt["n_docs"] >= r["n_continuations"]
