@@ -46,6 +46,9 @@ BNLJ_WHITELIST = {
     "dedup_incremental": "inherits dedup_minhash_lsh's permutation-seed cross join",
     "dedup_simhash": "bit-plane table cross join — O(k) constant build side",
     "ann_ivf_topk": "centroid table cross join — O(k) constant build side",
+    "ann_ivf_kmeans_topk": "trained-centroid table cross join — O(k) "
+    "constant build side (K=16 codebook rows; the Lloyd assignment fans "
+    "each vector out K ways by construction)",
     "embed_kmeans_assign": "K=8 seed-centroid cross join — O(k) constant "
     "build side (the Lloyd assignment step fans each vector out K ways "
     "by construction)",
