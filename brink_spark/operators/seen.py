@@ -181,14 +181,27 @@ def split_seen(
     at web scale the overwhelming majority of frontier URLs each wave —
     and only maybe-seen URLs reach it. Correctness is unconditional: a
     false positive just pays the join; false negatives cannot occur.
+
+    Both halves come from ONE left join against ``visited`` (null status →
+    fresh, non-null → cached) instead of an anti + inner pair: ``visited``
+    (the table that grows without bound at web scale — the expensive side)
+    is scanned and shuffled once per wave, not twice, and the downstream
+    fresh∪cached union reuses a single exchange.
     """
     if visited is None:
         return edges, edges.limit(0).withColumn("status", F.lit(0).cast("int"))
 
+    def _split(maybe_seen: DataFrame) -> tuple[DataFrame, DataFrame]:
+        hit = maybe_seen.join(
+            visited.select("url_norm", "status"), "url_norm", "left"
+        )
+        return (
+            hit.filter(F.col("status").isNull()).drop("status"),
+            hit.filter(F.col("status").isNotNull()),
+        )
+
     if bloom is None or bloom_shards is None:
-        fresh = edges.join(visited, "url_norm", "left_anti")
-        cached = edges.join(visited.select("url_norm", "status"), "url_norm", "inner")
-        return fresh, cached
+        return _split(edges)
 
     verdicts = bloom.probe(edges, bloom_shards)
     edges_flagged = edges.join(verdicts, "url_norm", "left")
@@ -198,6 +211,5 @@ def split_seen(
     positives = edges_flagged.filter(F.coalesce("maybe_seen", F.lit(False))).drop(
         "maybe_seen"
     )
-    fresh = negatives.unionByName(positives.join(visited, "url_norm", "left_anti"))
-    cached = positives.join(visited.select("url_norm", "status"), "url_norm", "inner")
-    return fresh, cached
+    anti, cached = _split(positives)
+    return negatives.unionByName(anti), cached

@@ -924,16 +924,21 @@ class CrawlEngine:
                 .join(pages_j, "_fk", "left")
                 .drop("_fk")
             )
-            # host-salt repartition before the parse (same rationale as
-            # fetch_stage: one mega-host must not serialize the wave);
-            # raw 64-bit hash, AQE-managed count (no parallelism ceiling)
+            # NO re-salt here: the equi-join already hash-distributes the
+            # wave by _fk (≈url_norm), so a mega-host's pages spread
+            # uniformly and the parse runs in the join's own reduce stage
+            # at AQE-chosen width — a second repartition would shuffle the
+            # full body column again purely to reach an equivalent
+            # distribution (in http mode the salt is load-bearing: it
+            # groups same-host rows for connection reuse BEFORE the
+            # socket fetch; here the "fetch" IS the join). An explicit
+            # partition override still forces it (a cluster-sizing hint
+            # must beat AQE).
             n_parts = self.fetch_partition_count()
-            salt = F.xxhash64("host", "url_norm")
-            joined = (
-                joined.repartition(n_parts, salt)
-                if n_parts > 0
-                else joined.repartition(salt)
-            )
+            if n_parts > 0:
+                joined = joined.repartition(
+                    n_parts, F.xxhash64("host", "url_norm")
+                )
         joined = joined.withColumn(
             "outcome",
             F.when(

@@ -44,6 +44,8 @@ _DRIVER_GATE_ORDER = [
     "source_balance",
     "inverted_index",
     "embed_kmeans_assign",
+    # --- tier 1: new in round 5 (queries/pipeline.py media join) ---
+    "media_span_join",
     # --- tier 1: new in round 5 (queries/sketches.py) ---
     "sketch_heavy_hitters",
     "sketch_quantile_check",

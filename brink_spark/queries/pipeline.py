@@ -58,8 +58,8 @@ FROM documents GROUP BY 1
 # shingles (shared by Jaccard + MinHash): distinct word 3-grams per doc
 
 
-def _shingles(spark, sf) -> DataFrame:
-    d = _docs(spark, sf).select("doc_id", F.split("text", " ").alias("w"))
+def _shingles_of(docs: DataFrame) -> DataFrame:
+    d = docs.select("doc_id", F.split("text", " ").alias("w"))
     d = d.filter(F.size("w") >= 3)
     return d.select(
         "doc_id",
@@ -72,6 +72,10 @@ def _shingles(spark, sf) -> DataFrame:
             )
         ).alias("sh"),
     )
+
+
+def _shingles(spark, sf) -> DataFrame:
+    return _shingles_of(_docs(spark, sf))
 
 
 _SQL_SHINGLES = """
@@ -257,16 +261,14 @@ def q_dedup_jaccard_prefix(spark, sf):
     )
 
 
-def q_dedup_minhash_lsh(spark, sf):
-    """MinHash + LSH banding, b=4 bands × r=2 rows (8 independent
-    permutation proxies): a band's signature is the concat of its two rows'
-    min-hashes, so docs pair only when BOTH rows agree — the textbook
-    (1/b)^(1/r) = 0.5 Jaccard threshold, matching q_dedup_ngram_jaccard's
-    0.5 cut. Permutation proxy = lexicographic min of salted md5(shingle),
-    engine-identical (ASCII order). One exploded-shingle shuffle feeds all
-    8 permutations; banding needs no extra shuffle (same doc_id key)."""
-    sh = _shingles(spark, sf)
-    perms = spark.range(8).select(F.col("id").cast("int").alias("perm"))
+def _lsh_band_sig(sh: DataFrame) -> DataFrame:
+    """(doc_id, sh) shingles → (doc_id, band, mh) LSH band signatures,
+    b=4 bands × r=2 rows. The reusable core of q_dedup_minhash_lsh —
+    also the WRITE path of the incremental-ingest signature store
+    (write_signature_store), so the store and the self-contained query
+    can never drift. One exploded-shingle shuffle feeds all 8
+    permutations; banding reuses the doc_id partitioning."""
+    perms = sh.sparkSession.range(8).select(F.col("id").cast("int").alias("perm"))
     mins = (
         sh.crossJoin(F.broadcast(perms))
         .groupBy("doc_id", "perm")
@@ -280,7 +282,7 @@ def q_dedup_minhash_lsh(spark, sf):
             ).alias("mh")
         )
     )
-    sig = (
+    return (
         mins.withColumn("band", (F.col("perm") / 2).cast("int"))
         .groupBy("doc_id", "band")
         .agg(
@@ -290,6 +292,17 @@ def q_dedup_minhash_lsh(spark, sf):
             ).alias("mh")
         )
     )
+
+
+def q_dedup_minhash_lsh(spark, sf):
+    """MinHash + LSH banding, b=4 bands × r=2 rows (8 independent
+    permutation proxies): a band's signature is the concat of its two rows'
+    min-hashes, so docs pair only when BOTH rows agree — the textbook
+    (1/b)^(1/r) = 0.5 Jaccard threshold, matching q_dedup_ngram_jaccard's
+    0.5 cut. Permutation proxy = lexicographic min of salted md5(shingle),
+    engine-identical (ASCII order). One exploded-shingle shuffle feeds all
+    8 permutations; banding needs no extra shuffle (same doc_id key)."""
+    sig = _lsh_band_sig(_shingles(spark, sf))
     # band-bucket cap: a (band, mh) bucket with > BAND_BUCKET_CAP members is
     # boilerplate-dominated — drop it before the quadratic in-bucket pairing
     # (same predicate in the oracle; never binds at test SF). Skew-safe
@@ -389,6 +402,71 @@ SELECT CASE WHEN a_new THEN doc_a ELSE doc_b END AS batch_doc,
        COUNT(*) AS n_corpus_dups
 FROM tagged WHERE a_new <> b_new GROUP BY 1
 """
+
+
+def write_signature_store(spark, sf, table: str, path: str, buckets: int = 8):
+    """Materialize the CORPUS side of the incremental-ingest dedup as a
+    bucketed signature store: (doc_id, band, mh) band signatures of every
+    non-batch document, hash-bucketed + sorted on (band, mh) via
+    write_bucketed (sources/corpus.py). Written ONCE per corpus epoch;
+    every nightly ingest then probes it without recomputing a single
+    corpus signature — the at-rest co-location half of
+    q_dedup_incremental's documented scale path."""
+    from brink_spark.sources.corpus import write_bucketed
+
+    corpus_docs = _docs(spark, sf).filter(~_is_new_batch(F.col("doc_id")))
+    sig = _lsh_band_sig(_shingles_of(corpus_docs))
+    write_bucketed(sig, table, buckets=buckets, key=["band", "mh"], path=path)
+
+
+def probe_incremental(spark, sf, table: str) -> DataFrame:
+    """Incremental-ingest probe against a pre-written signature store:
+    compute band signatures for the NEW batch only, then match them to
+    the bucketed corpus store. The corpus side never shuffles:
+
+    - store ⋉ batch bucket-keys is a broadcast semi-join (the batch's
+      distinct (band, mh) set is ingest-sized), so the store scan feeds
+      the match directly — no Exchange, and at scale bucket pruning
+      reads only matching buckets;
+    - the bucket cap (q_dedup_minhash_lsh's boilerplate guard) is
+      enforced with store-side counts aggregated ON the bucket
+      partitioning (bucketed groupBy — again no Exchange) plus batch-side
+      counts, so capped buckets drop exactly as in the self-contained
+      query (equality asserted in tests/test_incremental_bucketed.py).
+
+    Returns the same (batch_doc, n_corpus_dups) frame as
+    q_dedup_incremental without touching corpus text or shingles."""
+    batch_docs = _docs(spark, sf).filter(_is_new_batch(F.col("doc_id")))
+    batch_sig = _lsh_band_sig(_shingles_of(batch_docs))
+    store = spark.table(table)
+
+    keys = batch_sig.select("band", "mh").distinct()
+    hits = store.join(F.broadcast(keys), ["band", "mh"], "inner")
+
+    # cap on TOTAL bucket membership (corpus + batch), as the
+    # self-contained query counts it over the unified sig table
+    store_n = hits.groupBy("band", "mh").agg(F.count(F.lit(1)).alias("_ns"))
+    batch_n = batch_sig.groupBy("band", "mh").agg(F.count(F.lit(1)).alias("_nb"))
+    hot = (
+        store_n.join(batch_n, ["band", "mh"])
+        .filter(F.col("_ns") + F.col("_nb") > BAND_BUCKET_CAP)
+        .select("band", "mh")
+    )
+    hits = hits.join(F.broadcast(hot), ["band", "mh"], "left_anti")
+    batch_ok = batch_sig.join(F.broadcast(hot), ["band", "mh"], "left_anti")
+
+    pairs = (
+        batch_ok.select("band", "mh", F.col("doc_id").alias("batch_doc"))
+        .join(
+            hits.select("band", "mh", F.col("doc_id").alias("corpus_doc")),
+            ["band", "mh"],
+        )
+        .select("batch_doc", "corpus_doc")
+        .distinct()
+    )
+    return pairs.groupBy("batch_doc").agg(
+        F.count(F.lit(1)).alias("n_corpus_dups")
+    )
 
 
 def q_dedup_simhash(spark, sf):
@@ -1829,6 +1907,87 @@ FROM f
 """
 
 
+def q_media_span_join(spark, sf):
+    """Interleaved text+media: the span model (functions/spans.py, reference
+    ``Link``/media parity urls.go:34-38) carries ``media_ref`` URIs inline
+    with prose; a training pipeline joins those refs to a media-features
+    table to build multimodal examples. Spans here are synthesized from
+    documents.text (words starting with 'm' become media spans,
+    ``media_ref = 'media://' || word`` — engine-identical on both sides);
+    the media dim is the corpus's distinct refs with md5-derived features
+    (byte-0 size surrogate + modality), standing in for the decode output
+    of q_multimodal_features. The dim is vocabulary-bounded, so Spark
+    broadcasts it — the 100 TB span side never shuffles; per-doc
+    aggregation then reuses the scan partitioning (partial agg map-side).
+    At-rest co-location for the non-broadcastable case (a petabyte media
+    table) is the bucketed-join path proven in tests/test_media_join.py."""
+    d = _docs(spark, sf)
+    w = F.split("text", " ")
+    spans = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(w, lambda t: F.substring(t, 1, 1) == F.lit("m"))
+        ).alias("word"),
+    ).select("doc_id", F.concat(F.lit("media://"), F.col("word")).alias("media_ref"))
+    media = (
+        spans.select("media_ref")
+        .distinct()
+        .withColumn(
+            "media_bytes",
+            F.conv(F.substring(F.md5("media_ref"), 1, 2), 16, 10).cast("long"),
+        )
+        .withColumn(
+            "modality",
+            F.when(F.col("media_bytes") % 3 == 0, "image")
+            .when(F.col("media_bytes") % 3 == 1, "audio")
+            .otherwise("video"),
+        )
+    )
+    return (
+        spans.join(F.broadcast(media), "media_ref")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.countDistinct("media_ref").alias("n_refs"),
+            F.sum("media_bytes").alias("media_bytes"),
+            F.count_if(F.col("modality") == "image").alias("n_image"),
+            F.count_if(F.col("modality") == "audio").alias("n_audio"),
+            F.count_if(F.col("modality") == "video").alias("n_video"),
+        )
+    )
+
+
+_SQL_REF_BYTE0 = (
+    "((strpos('0123456789abcdef', substr(md5(media_ref), 1, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(md5(media_ref), 2, 1)) - 1))"
+)
+
+SQL_MEDIA_SPAN_JOIN = f"""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+spans AS (
+  SELECT doc_id, 'media://' || w[i] AS media_ref
+  FROM words, UNNEST(generate_series(1, len(w))) AS t(i)
+  WHERE substr(w[i], 1, 1) = 'm'),
+media AS (
+  SELECT media_ref, {_SQL_REF_BYTE0} AS media_bytes
+  FROM (SELECT DISTINCT media_ref FROM spans)),
+m2 AS (
+  SELECT media_ref, media_bytes,
+         CASE media_bytes % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS modality
+  FROM media)
+SELECT s.doc_id,
+       COUNT(*) AS n_media,
+       COUNT(DISTINCT s.media_ref) AS n_refs,
+       CAST(SUM(m2.media_bytes) AS BIGINT) AS media_bytes,
+       CAST(COUNT(*) FILTER (WHERE m2.modality = 'image') AS BIGINT) AS n_image,
+       CAST(COUNT(*) FILTER (WHERE m2.modality = 'audio') AS BIGINT) AS n_audio,
+       CAST(COUNT(*) FILTER (WHERE m2.modality = 'video') AS BIGINT) AS n_video
+FROM spans s JOIN m2 USING (media_ref)
+GROUP BY s.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # corpus analytics round 3: tf-idf terms, stratified sampling, dup clustering
 
@@ -2448,6 +2607,7 @@ PIPELINE_QUERIES = {
     "token_bpe_stats": (q_token_bpe_stats, SQL_TOKEN_BPE),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
     "multimodal_frame_sample": (q_multimodal_frame_sample, SQL_MULTIMODAL_FRAMES),
+    "media_span_join": (q_media_span_join, SQL_MEDIA_SPAN_JOIN),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),

@@ -78,7 +78,7 @@ def write_bucketed(
     df: DataFrame,
     table_name: str,
     buckets: int = 8,
-    key: str = "doc_id",
+    key: str | list[str] = "doc_id",
     path: str | None = None,
 ) -> None:
     """Write a DataFrame as a BUCKETED + sorted table (hash-bucketed on
@@ -90,11 +90,12 @@ def write_bucketed(
     partitioning ONCE at write time instead of per query. ``path`` makes
     the table external (data at the given location; metadata in the
     session catalog)."""
+    cols = [key] if isinstance(key, str) else list(key)
     w = (
         df.write.mode("overwrite")
         .format("parquet")
-        .bucketBy(buckets, key)
-        .sortBy(key)
+        .bucketBy(buckets, *cols)
+        .sortBy(*cols)
     )
     if path:
         w = w.option("path", path)
