@@ -258,6 +258,20 @@ def crawl_oracle(fixture: SiteFixture, config: Optional[CrawlConfig] = None) -> 
         # the frontier drains and idle-stop still fires)
         admitted.sort(key=lambda t: (t[0], t[2]))  # (priority, url_norm) within host
         cap = config.max_pages_per_host
+        # politeness grouping key: per-host (default), or per registrable
+        # SITE (politeness_key='site', functions/domains.py). ``rank``
+        # counts every non-capped unit of a group in (priority, url_norm)
+        # order — the engine's site-wide window rank — and a unit is
+        # eligible iff its rank fits its OWN host's budget. With uniform
+        # budgets inside a site (the supported regime; the engine docstring
+        # defines mixed budgets as engine-erring-toward-throttling) this is
+        # exactly operators/politeness.py's two-phase top-k; in host mode
+        # it degenerates to first-budget-per-host, the original contract.
+        pol_key = getattr(config, "politeness_key", "host")
+        if pol_key == "site":
+            from brink_spark.functions.domains import registrable_domain_py
+
+        rank: dict[str, int] = {}
         taken: dict[str, int] = {}
         eligible, deferred_edges = [], []
         for prio, host, un, edges in admitted:
@@ -268,7 +282,9 @@ def crawl_oracle(fixture: SiteFixture, config: Optional[CrawlConfig] = None) -> 
                     m["n_host_capped"] += 1
                     continue  # dropped, not deferred
                 budget = min(budget, remaining)
-            if taken.get(host, 0) < budget:
+            key = registrable_domain_py(host) if pol_key == "site" else host
+            rank[key] = rank.get(key, 0) + 1
+            if rank[key] <= budget:
                 taken[host] = taken.get(host, 0) + 1
                 eligible.append((prio, host, un, edges))
             else:

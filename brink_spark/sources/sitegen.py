@@ -139,7 +139,9 @@ def _href_variant(rng: random.Random, target: "Page", from_host: str) -> str:
 _SPECIAL_HREFS = ("javascript:;", "#top", "", " ", "mailto:x@example.org")
 
 
-def generate_site(scale: str = "tiny", seed: int = 42) -> SiteFixture:
+def generate_site(
+    scale: str = "tiny", seed: int = 42, hot_site: int = 0
+) -> SiteFixture:
     params = _SCALES[scale]
     rng = random.Random(seed)
     n_pages, n_hosts = params["n_pages"], params["n_hosts"]
@@ -267,13 +269,73 @@ def generate_site(scale: str = "tiny", seed: int = 42) -> SiteFixture:
                 dict(host=host, rule="allow", path_prefix="/private/pub", crawl_delay_budget=budget)
             )
 
+    # --- opt-in hot SITE: N subdomains of ONE registrable domain ---------
+    # Appended AFTER the base graph with zero rng draws, so every
+    # hot_site=0 fixture stays byte-identical to earlier rounds. All
+    # subdomains carry the SAME budget (uniform-budget sites are the
+    # regime where the engine's site-wide-rank semantics and the oracle's
+    # first-k counting provably coincide — operators/politeness.py
+    # docstring). With per-host budgets, host mode admits budget×N
+    # hot-site fetches per wave; site mode bounds the whole registrable
+    # domain at budget — the fixture for that contrast.
+    hot_site_hosts: list[str] = []
+    if hot_site > 0:
+        sub_pages, hot_site_budget = 6, 3
+        hot_site_hosts = [f"s{k}.hotsite.example" for k in range(hot_site)]
+        roots = [f"https://{h}/h0" for h in hot_site_hosts]
+        for k, h in enumerate(hot_site_hosts):
+            for j in range(sub_pages):
+                url = f"https://{h}/h{j}"
+                hrefs: list[str] = []
+                if j == 0:
+                    # roots interlink: every subdomain is discoverable one
+                    # wave after any root is fetched
+                    hrefs += [r for i, r in enumerate(roots) if i != k]
+                # chain + skip link: steady ~2 new URLs/host/wave, deep
+                # enough that deferral (site mode) is visible for waves
+                hrefs += [
+                    f"https://{h}/h{j2}" for j2 in (j + 1, j + 2) if j2 < sub_pages
+                ]
+                spans_raw = [("text", f"hot site {h} page {j}", None)] + [
+                    ("link", u, None) for u in hrefs
+                ]
+                offset = 0
+                spans = []
+                for kind, text, media_ref in spans_raw:
+                    s = Span(kind, text, media_ref, offset, None)
+                    spans.append(s)
+                    offset += s.content_len()
+                key = normalize_url(url, ignored_params, fuzzy)
+                assert key is not None and key not in seen_keys
+                seen_keys.add(key)
+                pages.append(
+                    Page(
+                        url_norm=key,
+                        url=url,
+                        host=h,
+                        scheme="https",
+                        status=200,
+                        content_length=4096,
+                        body=render_html(spans),
+                        spans=spans,
+                    )
+                )
+            robots.append(
+                dict(
+                    host=h,
+                    rule="deny",
+                    path_prefix="/private",
+                    crawl_delay_budget=hot_site_budget,
+                )
+            )
+
     # --- config + seeds --------------------------------------------------
     root_host = "site0.example"
     root_pages = [p for p in pages if p.host == root_host and p.status == 200]
     entry = root_pages[0].url if root_pages else pages[0].url
     allowed = tuple(
         f"{schemes[h]}://{h}" for h in hosts if h not in disallowed
-    )
+    ) + tuple(f"https://{h}" for h in hot_site_hosts)
     config = CrawlConfig(
         entrypoint=entry,
         allowed_domains=allowed,
@@ -288,6 +350,8 @@ def generate_site(scale: str = "tiny", seed: int = 42) -> SiteFixture:
         seeds.append(dict(url=hot_200[0].url, priority=1))
     if len(root_pages) > 1:
         seeds.append(dict(url=root_pages[1].url, priority=2))
+    if hot_site_hosts:
+        seeds.append(dict(url=f"https://{hot_site_hosts[0]}/h0", priority=0))
 
     return SiteFixture(
         scale=scale, seed=seed, pages=pages, seeds=seeds, robots=robots, config=config
