@@ -249,6 +249,84 @@ class CrawlEngine:
                 self.bloom.deleted(urls, shards), "bloom", manifest.last_wave
             )
 
+    def recrawl_order(self, limit: int | None = None) -> DataFrame:
+        """Freshness-driven recrawl schedule (Cho & Garcia-Molina change-rate
+        estimation) over the committed visited history: rank every url by an
+        exact-integer staleness score ``n_changes * age * 1e6 div span``
+        where waves are the crawl's clock — ``n_changes`` counts fingerprint
+        transitions between consecutive observations of the same url (the
+        content hash when the store carries one, else the HTTP status),
+        ``age`` is waves since the url was last fetched, ``span`` the waves
+        its history covers. Bigger score = changes often AND hasn't been
+        re-checked recently = refetch first.
+
+        Reads the RAW visited append-log (tombstones NOT applied — expired
+        rows ARE the observation history). Only urls with >=2 observations
+        (i.e. at least one prior expire->refetch cycle) are rankable; a
+        first recrawl of everything is just ``expire_visited`` + reseed.
+
+        Returns a seeds-shaped DataFrame ``(url, priority)`` with priority =
+        the staleness rank (0 = stalest), so feeding it straight into
+        ``expire_visited`` + ``run(resume=True, seeds=...)`` makes the
+        politeness top-k serve the stalest urls first. Plan: one keyed
+        window (partition-local lag per url), one partial-agg groupBy
+        reusing the same key, a 1-row broadcast scalar for the clock; the
+        final sort is top-k when ``limit`` is set. The oracle-checkable
+        twin of this ranking is queries/relational.py q_recrawl_priority.
+        """
+        manifest = self.store.read_manifest() or Manifest()
+        paths = self.store.visited_paths(manifest)
+        if not paths:
+            return self.spark.createDataFrame([], "url string, priority int")
+        hist = self.spark.read.parquet(*paths)
+        fp = (
+            F.coalesce(F.col("content_hash"), F.col("status").cast("string"))
+            if "content_hash" in hist.columns
+            else F.col("status").cast("string")
+        )
+        hist = hist.select("url_norm", "wave", fp.alias("_fp"))
+        w = Window.partitionBy("url_norm").orderBy("wave")
+        per = (
+            hist.withColumn("_prev", F.lag("_fp").over(w))
+            .groupBy("url_norm")
+            .agg(
+                F.count(F.lit(1)).alias("n_obs"),
+                F.sum(
+                    F.when(
+                        F.col("_prev").isNotNull()
+                        & (F.col("_prev") != F.col("_fp")),
+                        1,
+                    ).otherwise(0)
+                ).alias("n_changes"),
+                F.min("wave").alias("first_wave"),
+                F.max("wave").alias("last_wave"),
+            )
+        )
+        now = hist.agg(F.max("wave").alias("_now"))
+        ranked = (
+            per.join(F.broadcast(now))
+            .where(
+                (F.col("n_obs") >= 2) & (F.col("last_wave") > F.col("first_wave"))
+            )
+            .withColumn(
+                "_staleness",
+                F.expr(
+                    "(n_changes * (_now - last_wave) * 1000000)"
+                    " div (last_wave - first_wave)"
+                ),
+            )
+        )
+        # rank -> priority: a global row_number window. Single-partition by
+        # construction, but the input here is the per-URL rollup of urls
+        # with >=2 observations — bounded by the recrawl set, never by
+        # |visited| — and a total order is exactly what a schedule is.
+        rw = Window.orderBy(F.col("_staleness").desc(), "url_norm")
+        out = ranked.select(
+            F.col("url_norm").alias("url"),
+            (F.row_number().over(rw) - 1).cast("int").alias("priority"),
+        )
+        return out.limit(limit) if limit is not None else out
+
     def run(
         self,
         fixture=None,

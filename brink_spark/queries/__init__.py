@@ -52,6 +52,7 @@ _DRIVER_GATE_ORDER = [
     "ann_ivf_kmeans_topk",
     "ann_pq_adc_topk",
     "pack_sequences",
+    "recrawl_priority",
     # --- tier 2: newest green row is r3 (stalest) ---
     "dedup_exact",
     "dedup_ngram_jaccard",

@@ -2482,7 +2482,94 @@ FROM sites GROUP BY 1
 SQL_URL_REGISTRABLE_DOMAIN = _sql_registrable()
 
 
+def q_recrawl_priority(spark, sf):
+    """Freshness-driven recrawl scheduling (Cho & Garcia-Molina change-rate
+    estimation): each user_id stands in for a URL, its event stream for the
+    URL's fetch history, and a `props` payload change between consecutive
+    observations for a content change. Rank URLs by an exact-integer
+    staleness score `n_changes * age_sec * 1e6 div span_sec` — the discrete
+    analogue of lambda * age, where lambda = n_changes / span is the
+    observed Poisson change rate. Bigger score = changes often AND hasn't
+    been fetched recently = refetch first.
+
+    Engine mapping: CrawlEngine's refetch path orders expired URLs the same
+    way from the committed visited history (see plans/crawl.py
+    recrawl_order) — this query is the oracle-checkable twin of that hook.
+
+    Plan: one keyed window (lag over user_id — partition-local, bounded by
+    per-URL history length, no global sort), one partial-agg groupBy on the
+    same key so AQE reuses the exchange, a 1-row broadcast scalar for the
+    corpus max timestamp, and a top-k sort of the per-URL (not per-event)
+    rollup. All arithmetic is int64 (max ~3e16 < 2^63), identical in both
+    engines; ties broken by user_id."""
+    ev = _t(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        "props",
+        F.unix_timestamp("ts").alias("sec"),
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    obs = ev.withColumn("prev_props", F.lag("props").over(w))
+    per = obs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(
+            F.when(
+                F.col("prev_props").isNotNull()
+                & (F.col("prev_props") != F.col("props")),
+                1,
+            ).otherwise(0)
+        ).alias("n_changes"),
+        F.min("sec").alias("first_sec"),
+        F.max("sec").alias("last_sec"),
+    )
+    gmax = ev.agg(F.max("sec").alias("gmax"))
+    return (
+        per.join(F.broadcast(gmax))
+        .where((F.col("n_obs") >= 2) & (F.col("last_sec") > F.col("first_sec")))
+        .select(
+            "user_id",
+            "n_obs",
+            "n_changes",
+            (F.col("gmax") - F.col("last_sec")).alias("age_sec"),
+            (F.col("last_sec") - F.col("first_sec")).alias("span_sec"),
+        )
+        .withColumn(
+            "staleness",
+            F.expr("(n_changes * age_sec * 1000000) div span_sec"),
+        )
+        .orderBy(F.col("staleness").desc(), "user_id")
+        .limit(100)
+    )
+
+
+SQL_RECRAWL_PRIORITY = """
+WITH ev AS (SELECT user_id, event_id, props,
+                   CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec FROM events),
+obs AS (SELECT user_id, props, sec,
+               LAG(props) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+                 AS prev_props
+        FROM ev),
+per AS (SELECT user_id,
+               COUNT(*) AS n_obs,
+               CAST(SUM(CASE WHEN prev_props IS NOT NULL
+                              AND prev_props <> props
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+               MIN(sec) AS first_sec, MAX(sec) AS last_sec
+        FROM obs GROUP BY user_id),
+g AS (SELECT MAX(sec) AS gmax FROM ev)
+SELECT user_id, n_obs, n_changes,
+       (gmax - last_sec) AS age_sec,
+       (last_sec - first_sec) AS span_sec,
+       (n_changes * (gmax - last_sec) * 1000000) // (last_sec - first_sec)
+         AS staleness
+FROM per, g
+WHERE n_obs >= 2 AND last_sec > first_sec
+ORDER BY staleness DESC, user_id LIMIT 100
+"""
+
+
 RELATIONAL_QUERIES = {
+    "recrawl_priority": (q_recrawl_priority, SQL_RECRAWL_PRIORITY),
     "url_registrable_domain": (
         q_url_registrable_domain,
         SQL_URL_REGISTRABLE_DOMAIN,
