@@ -113,6 +113,7 @@ class CrawlEngine:
         pages: DataFrame | None = None,
         robots: DataFrame | None = None,
         store: CrawlStore | None = None,
+        pages_bucketed: bool = False,
     ):
         self.spark = spark
         self.config = config
@@ -121,6 +122,18 @@ class CrawlEngine:
         # through real Iceberg snapshots
         self.store = store if store is not None else CrawlStore(store_dir)
         self.pages = pages
+        # pages_bucketed declares that ``pages`` scans a catalog table
+        # hash-bucketed (+ sorted) BY url_norm (sources/corpus.py
+        # write_bucketed): run() then leaves the scan untouched so every
+        # wave's fetch join co-locates against the on-disk layout — no
+        # pages-side exchange or sort, ever. Redirect chains must be
+        # collapsed at write time (a union would destroy the layout).
+        self.pages_bucketed = pages_bucketed
+        if pages_bucketed and pages is not None and "redirect_to" in pages.columns:
+            raise ValueError(
+                "pages_bucketed=True requires redirect chains collapsed at "
+                "write time (drop redirect_to from the bucketed store)"
+            )
         self.robots = robots
         self.allowed_keys = allowed_domain_keys(config)
         self.norm_udf = make_normalize_udf(
@@ -452,6 +465,7 @@ class CrawlEngine:
                     extra = existing.unionByName(extra)
                 self.store.rewrite(extra, "frontier", wave)
 
+        self._pages_pin = None
         if self.pages is not None:
             cookie_cols = ["set_cookie"] if "set_cookie" in self.pages.columns else []
             redirect_cols = (
@@ -470,6 +484,54 @@ class CrawlEngine:
             # has the full semantics) — every wave's fetch join then sees
             # final payloads under the original url_norm keys
             pages_slim = collapse_redirect_chains(pages_slim, self.norm_udf)
+            # Per-wave fetch-join regime for the pages side (the BIG side,
+            # touched every wave):
+            #   - bucketed store (pages_bucketed=True): the table is
+            #     already hash-bucketed + sorted by url_norm on disk
+            #     (sources/corpus.py write_bucketed) — the at-scale answer:
+            #     the scan itself reports the co-located layout, so every
+            #     wave's join exchanges and sorts ONLY the frontier side,
+            #     and the partitioning was paid once at write time. Leave
+            #     the scan untouched (materializing would destroy the
+            #     layout).
+            #   - cache pin (page_pin_bytes > 0 and the store exceeds it):
+            #     repartition by the join key + persist() (which, unlike
+            #     localCheckpoint, keeps the cached plan's HashPartitioning)
+            #     + shuffle-hash hint. Opt-in: the fill cost needs a long
+            #     crawl to amortize — see config.page_pin_bytes for the
+            #     measured regime boundaries.
+            #   - default: localCheckpoint once (kills the per-wave
+            #     recompute — in fixture mode each wave would re-serialize
+            #     the table from the driver) and let AQE pick the per-wave
+            #     strategy (broadcast at small sizes).
+            pages_slim = pages_slim.withColumnRenamed("url_norm", "_fk")
+            self._pages_hint = False
+            # BRINK_NO_PAGE_PIN is the measurement escape hatch for A/B
+            # benchmarking this whole block; never set it in production
+            if self.pages_bucketed or os.environ.get("BRINK_NO_PAGE_PIN"):
+                pass
+            elif self.config.page_pin_bytes > 0 and (
+                pages_slim.agg(
+                    F.sum(F.coalesce(F.length("body"), F.lit(0)))
+                ).collect()[0][0]
+                or 0
+            ) > self.config.page_pin_bytes:
+                n_pages_parts = self.fetch_partition_count() or max(
+                    int(
+                        self.spark.conf.get(
+                            "spark.sql.shuffle.partitions", "200"
+                        )
+                    ),
+                    self.spark.sparkContext.defaultParallelism,
+                )
+                pages_slim = pages_slim.repartition(
+                    n_pages_parts, "_fk"
+                ).persist()
+                pages_slim.count()  # fill the cache before the wave loop
+                self._pages_pin = pages_slim
+                self._pages_hint = True
+            else:
+                pages_slim = pages_slim.localCheckpoint(eager=True)
         elif self.config.fetch_mode == "http":
             pages_slim = None  # real sockets; no synthetic pages table
         else:
@@ -570,6 +632,13 @@ class CrawlEngine:
             if pending_err and pending_err[0] is not loop_err:
                 raise loop_err from pending_err[0]
             raise
+        finally:
+            # release the pinned page-store cache whether the loop finished
+            # or raised (long sessions run many engines; leaked caches
+            # accumulate in the block manager)
+            if getattr(self, "_pages_pin", None) is not None:
+                self._pages_pin.unpersist()
+                self._pages_pin = None
 
         _join_pending()
         manifest.done = True
@@ -991,17 +1060,22 @@ class CrawlEngine:
             # NULL — nulls would pile every cached/deferred edge of the
             # wave into one join partition (skew); the prefixed key keeps
             # the shuffle uniform while never matching a page
-            pages_j = pages_slim.withColumnRenamed("url_norm", "_fk")
-            joined = (
-                combined.withColumn(
-                    "_fk",
-                    F.when(_fetchable, F.col("url_norm")).otherwise(
-                        F.concat(F.lit("\x00skip:"), F.col("url_norm"))
-                    ),
-                )
-                .join(pages_j, "_fk", "left")
-                .drop("_fk")
+            # pages_slim arrives fetch-join-ready: keyed by _fk, materialized
+            # (and, when big, pre-shuffled + pinned) once per run — see
+            # run()'s page-store setup
+            pages_j = pages_slim
+            probe = combined.withColumn(
+                "_fk",
+                F.when(_fetchable, F.col("url_norm")).otherwise(
+                    F.concat(F.lit("\x00skip:"), F.col("url_norm"))
+                ),
             )
+            if getattr(self, "_pages_hint", False):
+                # pinned regime: shuffle-hash with the FRONTIER as the
+                # build side — pages streams straight out of its
+                # partitioned cache, no sort, no exchange
+                probe = probe.hint("shuffle_hash")
+            joined = probe.join(pages_j, "_fk", "left").drop("_fk")
             # NO re-salt here: the equi-join already hash-distributes the
             # wave by _fk (≈url_norm), so a mega-host's pages spread
             # uniformly and the parse runs in the join's own reduce stage
