@@ -53,6 +53,8 @@ _DRIVER_GATE_ORDER = [
     "ann_pq_adc_topk",
     "pack_sequences",
     "recrawl_priority",
+    "url_template_traps",
+    "lang_balanced_sample",
     # --- tier 2: newest green row is r3 (stalest) ---
     "dedup_exact",
     "dedup_ngram_jaccard",

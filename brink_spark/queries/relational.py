@@ -2568,7 +2568,93 @@ ORDER BY staleness DESC, user_id LIMIT 100
 """
 
 
+# --------------------------------------------------------------------------
+# URL-template trap mining
+
+
+TRAP_FANOUT = 50
+
+
+def q_url_template_traps(spark, sf):
+    """Crawler-trap detection by URL-template mining: collapse every digit
+    run in a URL's path to ``#`` and count distinct URLs per (host,
+    template). Auto-generated infinite spaces — calendars, pagination,
+    session-id permutations — collapse onto ONE template with huge
+    fan-out, while real content templates stay small; ``is_trap`` flags
+    templates whose fan-out reaches TRAP_FANOUT. This query is the
+    oracle-checkable analysis twin of the engine's template trap guard
+    (plans/crawl.py, ``max-pages-per-template``), the third trap guard
+    after max-depth and max-pages-per-host.
+
+    Synthesis: events stand in for the fetch log; ``view`` events browse a
+    calendar tree (/cal/YYYY/M/D — unbounded template), other types hit a
+    bounded item space (/<type>/item-N, ≤ 37 pages). Both engines build
+    the same strings; templating is a native regexp_replace (digit runs →
+    '#'), zero Python.
+
+    Scale: one partial-agg groupBy on (host, template) — countDistinct
+    carries url as the dedup key through the shuffle; cardinality is
+    bounded by hosts × templates, thousands at web scale (the template
+    key is exactly what makes 10^10 trap URLs aggregable)."""
+    e = _t(spark, sf, "events")
+    urls = e.select(
+        F.concat(
+            F.lit("host"),
+            F.pmod("user_id", F.lit(20)).cast("string"),
+            F.lit(".example"),
+        ).alias("host"),
+        F.when(
+            F.col("event_type") == "view",
+            F.concat(
+                F.lit("/cal/"),
+                (F.lit(2000) + F.pmod("event_id", F.lit(26))).cast("string"),
+                F.lit("/"),
+                (F.lit(1) + F.pmod("event_id", F.lit(12))).cast("string"),
+                F.lit("/"),
+                (F.lit(1) + F.pmod("event_id", F.lit(28))).cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("/"),
+                F.col("event_type"),
+                F.lit("/item-"),
+                F.pmod("event_id", F.lit(37)).cast("string"),
+            )
+        )
+        .alias("path"),
+    )
+    tpl = urls.withColumn(
+        "template", F.regexp_replace("path", "[0-9]+", "#")
+    )
+    return tpl.groupBy("host", "template").agg(
+        F.countDistinct("path").alias("n_urls"),
+        F.count(F.lit(1)).alias("n_hits"),
+        (F.countDistinct("path") >= TRAP_FANOUT).alias("is_trap"),
+    )
+
+
+SQL_URL_TEMPLATE_TRAPS = f"""
+WITH u AS (
+  SELECT 'host' || CAST(user_id % 20 AS VARCHAR) || '.example' AS host,
+         CASE WHEN event_type = 'view'
+              THEN '/cal/' || CAST(2000 + event_id % 26 AS VARCHAR)
+                   || '/' || CAST(1 + event_id % 12 AS VARCHAR)
+                   || '/' || CAST(1 + event_id % 28 AS VARCHAR)
+              ELSE '/' || event_type || '/item-'
+                   || CAST(event_id % 37 AS VARCHAR)
+         END AS path
+  FROM events)
+SELECT host, regexp_replace(path, '[0-9]+', '#', 'g') AS template,
+       COUNT(DISTINCT path) AS n_urls,
+       COUNT(*) AS n_hits,
+       COUNT(DISTINCT path) >= {TRAP_FANOUT} AS is_trap
+FROM u GROUP BY 1, 2
+"""
+
+
 RELATIONAL_QUERIES = {
+    "url_template_traps": (q_url_template_traps, SQL_URL_TEMPLATE_TRAPS),
     "recrawl_priority": (q_recrawl_priority, SQL_RECRAWL_PRIORITY),
     "url_registrable_domain": (
         q_url_registrable_domain,

@@ -614,6 +614,87 @@ FROM x GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# temperature-balanced language sampling
+
+
+LANG_SAMPLE_TARGET = 100
+
+
+def q_lang_balanced_sample(spark, sf):
+    """Multilingual temperature sampling (the mBERT/XLM-R rebalance,
+    alpha = 0.5): per-language quotas proportional to sqrt(count) instead
+    of count, so head languages shrink and tail languages grow in the
+    training mix. All quota arithmetic is EXACT integer so both engines
+    agree bit-for-bit: isqrt_l = floor(sqrt(c_l)) (IEEE sqrt is correctly
+    rounded, so floor of it is deterministic), total = sum of int64s
+    (order-free), quota_l = greatest((TARGET * isqrt_l) div total, 1).
+    Within a language, docs are chosen by hash order (md5(doc_id),
+    doc_id) via the two-phase salted top-k (source_balance's shape) so a
+    head language never sorts in one task; the oracle is the
+    single-window form — exact equality is the losslessness proof.
+
+    Scale: one partial-agg groupBy(lang) for counts (a handful of rows,
+    broadcast back), one salted selection pass; quota never exceeds
+    TARGET so the phase-2 window sees ≤ salts×TARGET rows per language
+    regardless of corpus size."""
+    d = _docs(spark, sf).select(
+        "lang",
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    counts = counts.withColumn(
+        "isqrt", F.floor(F.sqrt(F.col("n_docs"))).cast("bigint")
+    )
+    total = counts.agg(F.sum("isqrt").alias("tot"))
+    quotas = (
+        counts.join(F.broadcast(total))
+        .withColumn(
+            "quota",
+            F.greatest(
+                F.expr(f"({LANG_SAMPLE_TARGET} * isqrt) div tot"), F.lit(1)
+            ),
+        )
+        .select("lang", "n_docs", "quota")
+    )
+    d = d.join(F.broadcast(quotas), "lang")
+    d = d.withColumn("_salt", F.pmod("doc_id", F.lit(8)))
+    w1 = Window.partitionBy("lang", "_salt").orderBy("h", "doc_id")
+    phase1 = (
+        d.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= F.col("quota"))
+        .drop("_r1", "_salt")
+    )
+    w2 = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        phase1.withColumn("ord", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("ord") <= F.col("quota"))
+        .select("lang", "doc_id", "ord", "quota")
+    )
+
+
+SQL_LANG_BALANCED_SAMPLE = f"""
+WITH c AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS isqrt
+  FROM documents GROUP BY 1),
+q AS (
+  SELECT lang,
+         GREATEST(({LANG_SAMPLE_TARGET} * isqrt)
+                  // (SELECT SUM(isqrt) FROM c), 1) AS quota
+  FROM c),
+r AS (
+  SELECT d.lang, d.doc_id, q.quota,
+         ROW_NUMBER() OVER (PARTITION BY d.lang
+                            ORDER BY md5(CAST(d.doc_id AS VARCHAR)),
+                                     d.doc_id) AS ord
+  FROM documents d JOIN q ON d.lang = q.lang)
+SELECT lang, doc_id, CAST(ord AS BIGINT) AS ord, CAST(quota AS BIGINT) AS quota
+FROM r WHERE ord <= quota
+"""
+
+
 TRAINING_QUERIES = {
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "containment_pairs": (q_containment_pairs, SQL_CONTAINMENT),
@@ -626,4 +707,5 @@ TRAINING_QUERIES = {
     "source_balance": (q_source_balance, SQL_SOURCE_BALANCE),
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
     "embed_kmeans_assign": (q_embed_kmeans_assign, SQL_EMBED_KMEANS),
+    "lang_balanced_sample": (q_lang_balanced_sample, SQL_LANG_BALANCED_SAMPLE),
 }
