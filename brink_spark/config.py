@@ -74,6 +74,17 @@ class CrawlConfig:
     # frontier drains and idle-stop still fires. Bounds infinite
     # auto-generated sites.
     max_pages_per_host: int = 0
+    # max_pages_per_template: lifetime cap on fetch attempts per URL
+    # TEMPLATE (scheme://host verbatim + digit runs collapsed to '#',
+    # functions/templates.py). The third trap guard: calendars,
+    # pagination, and session-id spaces collapse onto one template key,
+    # so they are bounded even when each URL is novel (defeating the
+    # seen set), every path is shallow (defeating max-depth), and the
+    # host also serves real content (making a host-wide cap collateral
+    # damage). Saturated templates drop their queued units (outcome
+    # 'template_capped', never deferred); per-wave overshoot is bounded
+    # by the politeness budget since a template lives on one host.
+    max_pages_per_template: int = 0
     # --- reference worker-model knobs (crawler.go:53-62), mapped onto the
     # wave model. worker_count (goroutine count) is a parallelism hint: it
     # RAISES the fetch-stage partition count floor (never caps it below the
@@ -230,6 +241,7 @@ _TOML_KEYS = {
     "max-waves": "max_waves",
     "max-depth": "max_depth",
     "max-pages-per-host": "max_pages_per_host",
+    "max-pages-per-template": "max_pages_per_template",
     "sitemap-discovery": "sitemap_discovery",
     "fetch-partitions": "fetch_partitions",
     "page-pin-bytes": "page_pin_bytes",

@@ -126,6 +126,20 @@ def normalize_url(
     return f"{p.scheme}://{p.host}{p.path}?{'&'.join(rendered)}"
 
 
+_TPL_PREFIX_RE = re.compile(r"^([a-z][a-z0-9+.\-]*://[^/?#]*)")
+_TPL_DIGITS_RE = re.compile(r"[0-9]+")
+
+
+def url_template_py(url_norm: str) -> str:
+    """URL template key (trap-guard extension; see functions/templates.py
+    for the native Spark twin): scheme://host prefix verbatim, digit runs
+    in the remainder collapsed to '#'. Pure Python so the oracle stays
+    pyspark-free."""
+    m = _TPL_PREFIX_RE.match(url_norm)
+    prefix = m.group(1) if m else ""
+    return prefix + _TPL_DIGITS_RE.sub("#", url_norm[len(prefix):])
+
+
 def path_forbidden(url: str, forbidden_paths: Sequence[str]) -> bool:
     """``pathForbidden`` (urls.go:166-175): substring match of any stored
     pattern against the URL's decoded path; parse failure → False."""

@@ -56,6 +56,7 @@ from brink_spark.functions.urls import (
     resolve_href,
     scheme_and_host,
     url_path,
+    url_template_py,
 )
 from brink_spark.sources.sitegen import SiteFixture
 
@@ -184,6 +185,10 @@ def crawl_oracle(fixture: SiteFixture, config: Optional[CrawlConfig] = None) -> 
     # (every eligible unit is an attempt — miss/not_allowed/too_large/ok
     # alike). Wave N's gating sees only waves < N, same as the engine.
     host_taken: dict[str, int] = {}
+    # max_pages_per_template trap guard: lifetime fetch-attempt counts per
+    # URL template (functions/templates.py url_template_py — the exact
+    # Python mirror of the engine's native expression)
+    template_taken: dict[str, int] = {}
 
     while frontier and wave < config.max_waves:
         # PageRank -> priority closed loop (engine: _reprioritize_frontier):
@@ -205,7 +210,7 @@ def crawl_oracle(fixture: SiteFixture, config: Optional[CrawlConfig] = None) -> 
         m = dict(wave=wave, n_frontier=len(frontier), n_malformed=0, n_cached=0,
                  n_units=0, n_robots_denied=0, n_deferred=0, n_fetched=0,
                  n_miss=0, n_not_allowed=0, n_too_large=0, n_ok=0, n_new_links=0,
-                 n_host_capped=0, n_depth_capped=0)
+                 n_host_capped=0, n_template_capped=0, n_depth_capped=0)
 
         # 1. normalize + drop malformed (C7)
         normed: list[tuple[Edge, str]] = []
@@ -273,8 +278,17 @@ def crawl_oracle(fixture: SiteFixture, config: Optional[CrawlConfig] = None) -> 
 
         rank: dict[str, int] = {}
         taken: dict[str, int] = {}
+        t_taken_wave: dict[str, int] = {}
+        tcap = getattr(config, "max_pages_per_template", 0)
         eligible, deferred_edges = [], []
         for prio, host, un, edges in admitted:
+            # template trap guard fires BEFORE the host guard and before
+            # politeness ranking (engine: the capped unit never enters
+            # apply_politeness, so it consumes no budget rank)
+            if tcap > 0:
+                if template_taken.get(url_template_py(un), 0) >= tcap:
+                    m["n_template_capped"] += 1
+                    continue  # dropped, not deferred
             budget = budgets.get(host, config.politeness_budget)
             if cap > 0:
                 remaining = cap - host_taken.get(host, 0)
@@ -286,12 +300,17 @@ def crawl_oracle(fixture: SiteFixture, config: Optional[CrawlConfig] = None) -> 
             rank[key] = rank.get(key, 0) + 1
             if rank[key] <= budget:
                 taken[host] = taken.get(host, 0) + 1
+                if tcap > 0:
+                    tpl = url_template_py(un)
+                    t_taken_wave[tpl] = t_taken_wave.get(tpl, 0) + 1
                 eligible.append((prio, host, un, edges))
             else:
                 deferred_edges.extend(edges)
                 m["n_deferred"] += 1
         for h, n in taken.items():  # visible from wave+1 on
             host_taken[h] = host_taken.get(h, 0) + n
+        for t, n in t_taken_wave.items():  # visible from wave+1 on
+            template_taken[t] = template_taken.get(t, 0) + n
 
         # 6. fetch in crawl order (the ordering contract)
         eligible.sort(key=lambda t: (t[0], t[1], t[2]))

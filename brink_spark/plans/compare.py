@@ -71,7 +71,7 @@ def compare_engine_oracle(
             (r["wave"], r["url_norm"])
             for r in flog.filter(
                 ~F.col("outcome").isin(
-                    "robots_denied", "deferred", "host_capped"
+                    "robots_denied", "deferred", "host_capped", "template_capped"
                 )
             )
             .orderBy("wave", "priority", "host", "url_norm")

@@ -164,6 +164,12 @@ class CrawlEngine:
         # fetches (or rebuilt from committed fetchlog on resume); stays
         # None forever when the guard is off.
         self._host_taken: DataFrame | None = None
+        # cumulative (template, _ttaken) fetch-attempt counts — the
+        # max_pages_per_template trap-guard state (functions/templates.py
+        # key). Same lifecycle as _host_taken; the per-wave gate joins
+        # only the SATURATED templates (taken >= cap), so the broadcast
+        # side holds just the actual traps, never every template.
+        self._template_taken: DataFrame | None = None
         # refetch_skip_unchanged comparison set: (url_norm, prior_hash) of
         # expired entries, computed once per run() (expiry only happens
         # between runs). None when the flag is off or nothing is expired.
@@ -440,6 +446,30 @@ class CrawlEngine:
                     )
                 else:
                     self._host_taken = None
+            # rebuild the per-template attempt counts the same way (the
+            # template recomputes natively from the committed url_norm)
+            if self.config.max_pages_per_template > 0:
+                if manifest.last_wave >= 0:
+                    from brink_spark.functions.templates import url_template
+
+                    self._template_taken = (
+                        self.store.read_asof(
+                            self.spark, "fetchlog", manifest.last_wave
+                        )
+                        .filter(
+                            F.col("outcome").isin(
+                                "miss", "not_allowed", "too_large", "ok",
+                                "not_modified",
+                            )
+                        )
+                        .groupBy(
+                            url_template(F.col("url_norm")).alias("template")
+                        )
+                        .agg(F.count(F.lit(1)).alias("_ttaken"))
+                        .localCheckpoint(eager=True)
+                    )
+                else:
+                    self._template_taken = None
             # restore the runtime request state committed with the last wave
             # (cookies from committed waves survive a crash; the suppressed
             # Authorization header stays suppressed). Pre-jar manifests
@@ -959,7 +989,42 @@ class CrawlEngine:
             .withColumn("unit_depth", F.min("depth").over(wu))
         )
         units = with_robots_denied(fresh.filter(F.col("_edge_rank") == 1), self._rules)
-        polite_in = units.filter(~F.col("_robots_denied"))
+        # template trap guard (max_pages_per_template > 0): units whose
+        # URL template is already saturated drop before politeness — they
+        # never consume a budget rank, so a lower-priority real page on
+        # the same host admits in their place (the oracle's `continue`
+        # before the rank increment). The broadcast side carries ONLY
+        # saturated templates: unsaturated ones cannot block anything, so
+        # the join input stays trap-sized, not corpus-sized. Robots denial
+        # wins when both apply (the oracle checks robots in step 4).
+        if (
+            cfg.max_pages_per_template > 0
+            and self._template_taken is not None
+        ):
+            from brink_spark.functions.templates import url_template
+
+            blocked = (
+                self._template_taken.filter(
+                    F.col("_ttaken") >= cfg.max_pages_per_template
+                )
+                .select("template")
+                .withColumn("_tpl_blocked", F.lit(True))
+            )
+            units = (
+                units.withColumn("template", url_template(F.col("url_norm")))
+                .join(F.broadcast(blocked), "template", "left")
+                .withColumn(
+                    "_template_capped",
+                    F.coalesce("_tpl_blocked", F.lit(False))
+                    & ~F.col("_robots_denied"),
+                )
+                .drop("_tpl_blocked", "template")
+            )
+        else:
+            units = units.withColumn("_template_capped", F.lit(False))
+        polite_in = units.filter(
+            ~F.col("_robots_denied") & ~F.col("_template_capped")
+        )
         if cfg.politeness_key == "site":
             # site mode: every subdomain of one registrable site shares a
             # single per-wave budget (functions/domains.py); budget
@@ -978,7 +1043,9 @@ class CrawlEngine:
             max_pages_per_host=cfg.max_pages_per_host,
             key=cfg.politeness_key,  # validated in CrawlConfig.__post_init__
         )
-        unit_flags = units.select("url_norm", "_robots_denied").join(
+        unit_flags = units.select(
+            "url_norm", "_robots_denied", "_template_capped"
+        ).join(
             polite.select("url_norm", "_eligible", "_host_capped"),
             "url_norm",
             "left",
@@ -1000,6 +1067,7 @@ class CrawlEngine:
             F.coalesce("_robots_denied", F.lit(False)).alias("robots_denied"),
             F.coalesce("_eligible", F.lit(False)).alias("eligible"),
             F.coalesce("_host_capped", F.lit(False)).alias("host_capped"),
+            F.coalesce("_template_capped", F.lit(False)).alias("template_capped"),
             F.lit("fresh").alias("edge_kind"),
             F.lit(None).cast("int").alias("seen_status"),
         )
@@ -1020,6 +1088,7 @@ class CrawlEngine:
             F.lit(False).alias("robots_denied"),
             F.lit(False).alias("eligible"),
             F.lit(False).alias("host_capped"),
+            F.lit(False).alias("template_capped"),
             F.lit("seen").alias("edge_kind"),
             F.col("status").cast("int").alias("seen_status"),
         )
@@ -1165,6 +1234,7 @@ class CrawlEngine:
             "robots_denied",
             "eligible",
             "host_capped",
+            "template_capped",
             "edge_kind",
             "seen_status",
             "outcome",
@@ -1181,6 +1251,9 @@ class CrawlEngine:
             F.count_if(_fresh1 & F.col("robots_denied")).alias("n_robots_denied"),
             F.count_if(_fresh1 & F.col("eligible")).alias("n_eligible"),
             F.count_if(_fresh1 & F.col("host_capped")).alias("n_host_capped"),
+            F.count_if(_fresh1 & F.col("template_capped")).alias(
+                "n_template_capped"
+            ),
             F.count_if(F.col("outcome") == "miss").alias("n_miss"),
             F.count_if(F.col("outcome") == "not_allowed").alias("n_not_allowed"),
             F.count_if(F.col("outcome") == "too_large").alias("n_too_large"),
@@ -1204,11 +1277,13 @@ class CrawlEngine:
         m["n_units"] = ec["n_units"]
         m["n_robots_denied"] = ec["n_robots_denied"]
         m["n_host_capped"] = ec["n_host_capped"]
+        m["n_template_capped"] = ec["n_template_capped"]
         m["n_deferred"] = (
             ec["n_units"]
             - ec["n_robots_denied"]
             - ec["n_eligible"]
             - ec["n_host_capped"]
+            - ec["n_template_capped"]
         )
         # malformed = frontier rows minus all surviving edges
         m["n_malformed"] = n_frontier - ec["n_edges"]
@@ -1244,6 +1319,27 @@ class CrawlEngine:
                     .agg(F.sum("_taken").alias("_taken"))
                 )
                 self._host_taken = merged.localCheckpoint(eager=True)
+
+        # lifetime per-template attempt counts (max_pages_per_template
+        # trap guard): same fold as the host guard, keyed by the native
+        # template expression over the attempted url_norms. The cumulative
+        # table grows with DISTINCT templates (thousands at web scale, not
+        # 10^10 URLs) — the collapse is the whole point of the guard.
+        if cfg.max_pages_per_template > 0:
+            from brink_spark.functions.templates import url_template
+
+            with self._phase("template-taken"):
+                wave_ttaken = fetchpage.groupBy(
+                    url_template(F.col("url_norm")).alias("template")
+                ).agg(F.count(F.lit(1)).alias("_ttaken"))
+                tmerged = (
+                    wave_ttaken
+                    if self._template_taken is None
+                    else self._template_taken.unionByName(wave_ttaken)
+                    .groupBy("template")
+                    .agg(F.sum("_ttaken").alias("_ttaken"))
+                )
+                self._template_taken = tmerged.localCheckpoint(eager=True)
 
         # response-cookie accumulation (brink.go:199-204): the reference
         # merges resp.Cookies() BEFORE the domain-allowed and content-length
@@ -1292,6 +1388,7 @@ class CrawlEngine:
         edge_log = log_cols(
             edges.filter(_fresh1 & (F.col("robots_denied") | ~F.col("eligible"))),
             F.when(F.col("robots_denied"), "robots_denied")
+            .when(F.col("template_capped"), "template_capped")
             .when(F.col("host_capped"), "host_capped")
             .otherwise("deferred"),
             F.lit(-1),
@@ -1423,9 +1520,11 @@ class CrawlEngine:
             (F.col("edge_kind") == "fresh")
             & ~F.col("eligible")
             & ~F.col("robots_denied")
-            # host_capped units DROP (fetchlog records them); deferring
-            # them would pin an infinite auto-generated site forever
+            # host_capped / template_capped units DROP (fetchlog records
+            # them); deferring them would pin an infinite auto-generated
+            # site forever
             & ~F.col("host_capped")
+            & ~F.col("template_capped")
         ).select("linked_from", "url", "priority", "depth")
         obs_next = Observation(f"w{wave}_frontier_next")
         # depth trap guard (max_depth > 0): outlinks beyond the link-hop
