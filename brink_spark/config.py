@@ -85,6 +85,12 @@ class CrawlConfig:
     # 'template_capped', never deferred); per-wave overshoot is bounded
     # by the politeness budget since a template lives on one host.
     max_pages_per_template: int = 0
+    # preblocked_templates: templates that enter the run ALREADY saturated
+    # (the streaming hot-template monitor's feedback path,
+    # streaming/template_monitor.py): with the guard on, their queued
+    # units drop from wave 0 without re-spending the cap. Ignored when
+    # max_pages_per_template == 0.
+    preblocked_templates: tuple = ()
     # --- reference worker-model knobs (crawler.go:53-62), mapped onto the
     # wave model. worker_count (goroutine count) is a parallelism hint: it
     # RAISES the fetch-stage partition count floor (never caps it below the
@@ -242,6 +248,7 @@ _TOML_KEYS = {
     "max-depth": "max_depth",
     "max-pages-per-host": "max_pages_per_host",
     "max-pages-per-template": "max_pages_per_template",
+    "preblocked-templates": "preblocked_templates",
     "sitemap-discovery": "sitemap_discovery",
     "fetch-partitions": "fetch_partitions",
     "page-pin-bytes": "page_pin_bytes",

@@ -189,6 +189,11 @@ def crawl_oracle(fixture: SiteFixture, config: Optional[CrawlConfig] = None) -> 
     # URL template (functions/templates.py url_template_py — the exact
     # Python mirror of the engine's native expression)
     template_taken: dict[str, int] = {}
+    _tcap0 = getattr(config, "max_pages_per_template", 0)
+    if _tcap0 > 0:
+        # preblocked templates enter already saturated (engine parity)
+        for _t in getattr(config, "preblocked_templates", ()):
+            template_taken[_t] = _tcap0
 
     while frontier and wave < config.max_waves:
         # PageRank -> priority closed loop (engine: _reprioritize_frontier):

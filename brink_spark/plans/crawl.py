@@ -495,6 +495,31 @@ class CrawlEngine:
                     extra = existing.unionByName(extra)
                 self.store.rewrite(extra, "frontier", wave)
 
+        # preblocked templates (the streaming monitor's feedback path,
+        # streaming/template_monitor.py): enter the run already saturated
+        # — merged as MAX with any resumed counts, so a template is
+        # saturated whether the evidence came from this store's fetchlog
+        # or from the online monitor
+        if (
+            self.config.max_pages_per_template > 0
+            and self.config.preblocked_templates
+        ):
+            pre = self.spark.createDataFrame(
+                [
+                    (t, self.config.max_pages_per_template)
+                    for t in self.config.preblocked_templates
+                ],
+                "template string, _ttaken long",
+            )
+            tmerged = (
+                pre
+                if self._template_taken is None
+                else self._template_taken.unionByName(pre)
+                .groupBy("template")
+                .agg(F.max("_ttaken").alias("_ttaken"))
+            )
+            self._template_taken = tmerged.localCheckpoint(eager=True)
+
         self._pages_pin = None
         if self.pages is not None:
             cookie_cols = ["set_cookie"] if "set_cookie" in self.pages.columns else []

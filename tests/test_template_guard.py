@@ -203,5 +203,112 @@ def test_url_template_spark_equals_python(spark):
 
 def test_template_cap_toml_round_trip(tmp_path):
     p = tmp_path / "c.toml"
-    p.write_text(f'entrypoint = "{H}/d0"\nmax-pages-per-template = 7\n')
-    assert from_toml(str(p)).max_pages_per_template == 7
+    p.write_text(
+        f'entrypoint = "{H}/d0"\nmax-pages-per-template = 7\n'
+        'preblocked-templates = ["http://trap.test/cal/#/#"]\n'
+    )
+    cfg = from_toml(str(p))
+    assert cfg.max_pages_per_template == 7
+    assert cfg.preblocked_templates == ("http://trap.test/cal/#/#",)
+
+
+# ------------------------------------------- streaming hot-template monitor
+
+
+def _fetch_log_rows():
+    """Synthetic fetch log: a calendar trap burst (60 distinct URLs in one
+    hour) next to a handful of real-page fetches."""
+    base = "2024-05-01 10:{m:02d}:00"
+    rows = [
+        (f"{H}/cal/2024/{i}", base.format(m=i % 60)) for i in range(1, 61)
+    ] + [
+        (f"{H}/about", "2024-05-01 10:05:00"),
+        (f"{H}/about", "2024-05-01 10:40:00"),
+        (f"{H}/contact", "2024-05-01 10:06:00"),
+    ]
+    return rows
+
+
+def test_hot_template_stream_matches_batch(spark, tmp_path):
+    from brink_spark.streaming.template_monitor import (
+        blocked_template_list,
+        hot_templates,
+    )
+
+    rows = _fetch_log_rows()
+    batch_df = spark.createDataFrame(rows, "url_norm string, ts string")
+    want_df = hot_templates(batch_df, threshold=50, window="1 hour")
+    want = {
+        (r["window_start"], r["template"]): (
+            r["n_urls_approx"], r["n_hits"], r["is_hot"]
+        )
+        for r in want_df.collect()
+    }
+    # the trap template is hot, the real pages are not
+    assert any(k[1] == f"{H}/cal/#/#" and v[2] for k, v in want.items())
+    assert all(v[2] is False for k, v in want.items() if "cal" not in k[1])
+
+    src_dir = tmp_path / "flog_in"
+    src_dir.mkdir()
+    batch_df.write.parquet(str(src_dir / "p0"), mode="overwrite")
+    stream = spark.readStream.schema(batch_df.schema).parquet(
+        str(src_dir / "p0")
+    )
+    q = (
+        hot_templates(stream, threshold=50, window="1 hour")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hot_tpl")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tpl"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["window_start"], r["template"]): (
+            r["n_urls_approx"], r["n_hits"], r["is_hot"]
+        )
+        for r in spark.sql("SELECT * FROM hot_tpl").collect()
+    }
+    assert got == want
+    assert blocked_template_list(want_df) == [f"{H}/cal/#/#"]
+
+
+def test_monitor_feeds_preblock_closed_loop(spark, trap_pages, tmp_path):
+    """The full online loop: monitor flags the trap from a fetch log →
+    blocked_template_list → preblocked-templates config → the next crawl
+    drops the whole calendar from wave 1 while real pages are untouched —
+    and the engine still matches the oracle on all four contracts."""
+    from brink_spark.streaming.template_monitor import (
+        blocked_template_list,
+        hot_templates,
+    )
+
+    flog = spark.createDataFrame(
+        _fetch_log_rows(), "url_norm string, ts string"
+    )
+    blocked = blocked_template_list(hot_templates(flog, threshold=50))
+    cfg = _config().with_(preblocked_templates=tuple(blocked))
+    fx = _fixture(trap_pages, cfg, "tplpre")
+    oracle = crawl_oracle(fx)
+    engine, summary = _run(spark, fx, tmp_path, "tplpre")
+    visited = {
+        r["url_norm"]
+        for r in engine.store.read_visited(
+            spark, engine.store.read_manifest()
+        ).collect()
+    }
+    # no calendar page was ever fetched; every real page survives
+    assert visited == {
+        normalize_url(u, (), False)
+        for u in [f"{H}/d0", f"{H}/about", f"{H}/contact", f"{H}/team"]
+    }
+    assert [m.get("n_template_capped", 0) for m in summary.wave_metrics] == [0, 1]
+    comparison = compare_engine_oracle(spark, engine, oracle)
+    assert comparison.visited_match, comparison.detail
+    assert comparison.order_match, comparison.detail
+    assert comparison.handler_match, comparison.detail
+    assert comparison.spans_match, comparison.detail.get("span_diffs")
+    for em, om in zip(summary.wave_metrics, oracle.metrics):
+        for key, want in om.items():
+            assert em.get(key) == want, (om["wave"], key, em.get(key), want)
