@@ -55,6 +55,7 @@ _DRIVER_GATE_ORDER = [
     "recrawl_priority",
     "url_template_traps",
     "lang_balanced_sample",
+    "quality_source_prior",
     # --- tier 2: newest green row is r3 (stalest) ---
     "dedup_exact",
     "dedup_ngram_jaccard",

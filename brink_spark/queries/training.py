@@ -46,6 +46,8 @@ from brink_spark.queries.pipeline import (
     _SQL_CAPPED_SHINGLES,
     _SQL_MINHASH_CTES,
     _SQL_SHINGLES,
+    _SQL_STOP,
+    _STOPWORDS,
     _capped_shingles,
     _docs,
     _emb,
@@ -695,6 +697,73 @@ FROM r WHERE ord <= quota
 """
 
 
+# --------------------------------------------------------------------------
+# per-source quality prior with doc-level join-back
+
+
+def q_quality_source_prior(spark, sf):
+    """Domain-prior quality filtering (the curation rule "judge a page
+    against its own site"): per-doc integer quality = stopword density
+    ×1000, per-source prior = the integer mean of its docs' scores, and a
+    join-back flags docs scoring under HALF their source's prior — the
+    boilerplate/navigation/junk pages of an otherwise-good domain, which
+    a single global threshold either misses (good domain, mediocre page)
+    or over-fires on (tail-language domains score low globally). All
+    arithmetic is exact int64 (×1000 then `div`), so both engines agree.
+
+    Scale: one partial-agg groupBy(source) and one equi-join back on
+    source. The prior table has one row per source (registrable domains —
+    millions, not documents — at web scale), so the join-back is left to
+    AQE: broadcast when dim-sized, shuffle-hash when not; no hint pins
+    the wrong strategy at either end."""
+    d = _docs(spark, sf)
+    w = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    per = d.select(
+        "doc_id",
+        "source",
+        (
+            F.size(F.filter(w, lambda t: F.array_contains(stop_arr, t)))
+            * F.lit(1000)
+        ).alias("_stop_x1000"),
+        F.size(w).alias("_n_tok"),
+    ).select(
+        "doc_id",
+        "source",
+        F.expr("_stop_x1000 div _n_tok").alias("quality"),
+    )
+    prior = per.groupBy("source").agg(
+        F.expr("sum(quality) div count(*)").alias("prior"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return (
+        per.join(prior, "source")
+        .select(
+            "doc_id",
+            "source",
+            "quality",
+            "prior",
+            (F.col("quality") * 2 < F.col("prior")).alias("below_prior"),
+        )
+    )
+
+
+SQL_QUALITY_SOURCE_PRIOR = f"""
+WITH per AS (
+  SELECT doc_id, source,
+         (len(list_filter(string_split(text, ' '), t -> t IN {_SQL_STOP}))
+          * 1000) // len(string_split(text, ' ')) AS quality
+  FROM documents),
+pr AS (
+  SELECT source, SUM(quality) // COUNT(*) AS prior
+  FROM per GROUP BY 1)
+SELECT per.doc_id, per.source, CAST(per.quality AS BIGINT) AS quality,
+       CAST(pr.prior AS BIGINT) AS prior,
+       per.quality * 2 < pr.prior AS below_prior
+FROM per JOIN pr ON per.source = pr.source
+"""
+
+
 TRAINING_QUERIES = {
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "containment_pairs": (q_containment_pairs, SQL_CONTAINMENT),
@@ -708,4 +777,8 @@ TRAINING_QUERIES = {
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
     "embed_kmeans_assign": (q_embed_kmeans_assign, SQL_EMBED_KMEANS),
     "lang_balanced_sample": (q_lang_balanced_sample, SQL_LANG_BALANCED_SAMPLE),
+    "quality_source_prior": (
+        q_quality_source_prior,
+        SQL_QUALITY_SOURCE_PRIOR,
+    ),
 }
