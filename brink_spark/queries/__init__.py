@@ -56,6 +56,7 @@ _DRIVER_GATE_ORDER = [
     "url_template_traps",
     "lang_balanced_sample",
     "quality_source_prior",
+    "dedup_cdc_chunks",
     # --- tier 2: newest green row is r3 (stalest) ---
     "dedup_exact",
     "dedup_ngram_jaccard",

@@ -2433,6 +2433,95 @@ GROUP BY doc_id
 
 
 # --------------------------------------------------------------------------
+# content-defined chunking (CDC) dedup
+
+
+def q_dedup_cdc_chunks(spark, sf):
+    """Content-defined chunk dedup — the insertion-robust form of chunk
+    dedup: boundaries come from the CONTENT (a token whose md5 leading
+    nibble is 0 or 1 closes a chunk, p = 1/8 so chunks average ~8 words)
+    instead of fixed offsets, so inserting one word early in a document
+    shifts only the chunk it lands in — every later chunk re-aligns and
+    still matches its duplicates (fixed-width q_dedup_chunks loses ALL
+    chunks after the insertion point). This is the storage-dedup /
+    rsync-rolling-window idea applied at token granularity.
+
+    Scale: the running boundary count is a per-doc window (partition
+    bounded by document length, same discipline as pack_sequences), the
+    chunk assembly is a per-(doc, chunk) partial agg, and the cross-doc
+    phase reuses q_dedup_chunks' shape exactly — one row per distinct
+    chunk on the build side, AQE skew-split for boilerplate mega-chunks.
+    Boundary test is md5-nibble arithmetic (engine-identical), not
+    xxhash64 (absent in DuckDB)."""
+    d = _docs(spark, sf).withColumn("w", F.split("text", " "))
+    tok = d.select("doc_id", F.posexplode("w").alias("pos", "tok"))
+    bd = tok.withColumn(
+        "bd",
+        F.when(
+            F.substring(F.md5("tok"), 1, 1).isin("0", "1"), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    wdoc = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cid = bd.withColumn(
+        "chunk_id", F.coalesce(F.sum("bd").over(wdoc), F.lit(0))
+    )
+    ch = cid.groupBy("doc_id", "chunk_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("chunk")
+    )
+    cdf = ch.groupBy("chunk").agg(F.countDistinct("doc_id").alias("n_docs"))
+    return (
+        ch.join(cdf, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count_if(F.col("n_docs") >= 2).alias("n_shared_chunks"),
+            F.expr("(count_if(n_docs >= 2) * 1000) div count(1)")
+            .cast("bigint")
+            .alias("shared_permille"),
+        )
+    )
+
+
+SQL_DEDUP_CDC_CHUNKS = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS tok,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+  FROM documents),
+b AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN substring(md5(tok), 1, 1) IN ('0', '1')
+              THEN 1 ELSE 0 END AS bd
+  FROM tok),
+c AS (
+  SELECT doc_id, pos, tok,
+         COALESCE(SUM(bd) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+  FROM b),
+ch AS (
+  SELECT doc_id, chunk_id, string_agg(tok, ' ' ORDER BY pos) AS chunk
+  FROM c GROUP BY 1, 2),
+cdf AS (SELECT chunk, COUNT(DISTINCT doc_id) AS n_docs FROM ch GROUP BY 1)
+SELECT ch.doc_id, COUNT(*) AS n_chunks,
+       CAST(COUNT(*) FILTER (n_docs >= 2) AS BIGINT) AS n_shared_chunks,
+       CAST((COUNT(*) FILTER (n_docs >= 2) * 1000) // COUNT(*) AS BIGINT)
+         AS shared_permille
+FROM ch JOIN cdf USING (chunk)
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # per-source quality rollup (RefinedWeb-style domain aggregation)
 
 
@@ -2615,6 +2704,7 @@ PIPELINE_QUERIES = {
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "lm_score_bigram": (q_lm_score_bigram, SQL_LM_SCORE),
     "dedup_chunks": (q_dedup_chunks, SQL_DEDUP_CHUNKS),
+    "dedup_cdc_chunks": (q_dedup_cdc_chunks, SQL_DEDUP_CDC_CHUNKS),
     "source_rollup": (q_source_rollup, SQL_SOURCE_ROLLUP),
     "vocab_stats": (q_vocab_stats, SQL_VOCAB_STATS),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),

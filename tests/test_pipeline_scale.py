@@ -345,3 +345,37 @@ def test_embed_neardup_guard_fails_fast(spark, monkeypatch):
     monkeypatch.setattr(P, "EMBED_NEARDUP_MAX_ROWS", 10)
     with pytest.raises(ValueError, match="q_embed_neardup_lsh"):
         P.q_embed_neardup(spark, SF_SMALL)
+
+
+def test_cdc_chunks_survive_insertion_fixed_width_does_not(spark, tmp_path):
+    """The CDC claim, demonstrated: two identical documents share all
+    their chunks under BOTH schemes; after inserting one word at the
+    front of the copy, fixed-width chunking loses (nearly) every shared
+    chunk downstream of the insertion while content-defined boundaries
+    re-align and keep most of them."""
+    from brink_spark.queries.pipeline import q_dedup_cdc_chunks, q_dedup_chunks
+
+    rng = np.random.default_rng(7)
+    words = [f"w{int(i)}" for i in rng.integers(0, 500, size=400)]
+    base = " ".join(words)
+    shifted = "INSERTED " + base
+    docs = [
+        (0, base, "en", "s", len(base)),
+        (1, shifted, "en", "s", len(shifted)),
+    ]
+    d = tmp_path / "cdc_sf"
+    d.mkdir()
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(d / "documents.parquet"))
+
+    def permille(q):
+        rows = {r["doc_id"]: r for r in q(spark, str(d)).collect()}
+        return rows[1]["shared_permille"]
+
+    fixed = permille(q_dedup_chunks)
+    cdc = permille(q_dedup_cdc_chunks)
+    # fixed-width: every 4-word frame after the insertion shifts by one
+    # token -> near-zero overlap; CDC: only the first chunk differs
+    assert fixed < 100, fixed
+    assert cdc > 800, cdc
