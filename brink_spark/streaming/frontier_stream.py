@@ -94,15 +94,22 @@ class StreamingCrawl:
         redirect_cols = (
             ["redirect_to"] if "redirect_to" in self.engine.pages.columns else []
         )
-        self._pages_slim = collapse_redirect_chains(
-            self.engine.pages.select(
-                "url_norm",
-                F.col("status").alias("page_status"),
-                "content_length",
-                "body",
-                *redirect_cols,
-            ),
-            self.engine.norm_udf,
+        # _run_wave expects a fetch-join-ready pages side: keyed by _fk and
+        # materialized once (the same contract run()'s page-store setup
+        # establishes for the batch loop)
+        self._pages_slim = (
+            collapse_redirect_chains(
+                self.engine.pages.select(
+                    "url_norm",
+                    F.col("status").alias("page_status"),
+                    "content_length",
+                    "body",
+                    *redirect_cols,
+                ),
+                self.engine.norm_udf,
+            )
+            .withColumnRenamed("url_norm", "_fk")
+            .localCheckpoint(eager=True)
         )
         if seeds_df is not None:
             self.seed(seeds_df)
