@@ -175,12 +175,48 @@ def run_level(cpus: int) -> dict:
     )
     from pyspark.sql import functions as F
 
+    # BRINK_PAGES_BUCKETED=1: the at-scale page-store regime — the wave's
+    # fetch join reads a url_norm-bucketed + sorted on-disk table, so the
+    # pages side never exchanges or sorts (BENCH/page_pin_r5.json). The
+    # bucket write happens here, OUTSIDE the timed window, exactly as a
+    # production store pays its layout once at write time; each level
+    # process builds its own catalog entry (per-process session catalog).
+    if os.environ.get("BRINK_PAGES_BUCKETED") == "1":
+        from brink_spark.functions.udfs import make_normalize_udf
+        from brink_spark.operators.redirects import collapse_redirect_chains
+        from brink_spark.sources.corpus import write_bucketed
+
+        raw_pages = spark.read.parquet(PAGES)
+        slim = [
+            c
+            for c in (
+                "url_norm", "status", "content_length", "body",
+                "set_cookie", "redirect_to",
+            )
+            if c in raw_pages.columns
+        ]
+        collapsed = collapse_redirect_chains(
+            raw_pages.select(*slim),
+            make_normalize_udf(
+                config.ignore_get_parameters,
+                config.fuzzy_get_parameter_checks,
+            ),
+        )
+        write_bucketed(
+            collapsed, f"scal_bk_pages_{cpus}", buckets=64,
+            key="url_norm", path=f"{WORK}/bk_pages_{cpus}",
+        )
+        engine_kw = dict(
+            pages=spark.table(f"scal_bk_pages_{cpus}"), pages_bucketed=True
+        )
+    else:
+        engine_kw = dict(pages=spark.read.parquet(PAGES))
     engine = CrawlEngine(
         spark,
         config,
         store_dir,
-        pages=spark.read.parquet(PAGES),
         robots=spark.read.parquet(ROBOTS),
+        **engine_kw,
     )
 
     # warmup outside the timed window: spins up the python worker pool and
@@ -189,7 +225,7 @@ def run_level(cpus: int) -> dict:
     warm_store = f"{WORK}/store_warm_{cpus}"
     shutil.rmtree(warm_store, ignore_errors=True)
     warm = CrawlEngine(spark, config.with_(collect_metrics=False), warm_store,
-                       pages=engine.pages, robots=engine.robots)
+                       robots=engine.robots, **engine_kw)
     seeds = spark.createDataFrame(
         [(config.entrypoint, 0)], "url string, priority int"
     )
