@@ -83,6 +83,13 @@ HEADLINE = [
     "source_balance",
     "inverted_index",
     "embed_kmeans_assign",
+    # late-round-5 additions (same symmetric-escalation note)
+    "url_template_traps",
+    "lang_balanced_sample",
+    "quality_source_prior",
+    "dedup_cdc_chunks",
+    "recrawl_priority",
+    "pack_sequences",
 ]
 
 CRAWL_WAVES = 10
