@@ -201,6 +201,63 @@ def test_url_template_spark_equals_python(spark):
     assert "BatchEvalPython" not in explain and plan
 
 
+def test_url_template_fuzz_spark_equals_python(spark):
+    """Seeded fuzz over messy URL-shaped strings (ports, userinfo-ish
+    text, digits in every segment, queries, fragments, empty/degenerate
+    forms): one batch through the native expression must equal the pure
+    mirror on every row."""
+    import random
+
+    rng = random.Random(1234)
+    schemes = ["http", "https", "ftp", "x+y.z-1"]
+    hosts = ["a.example", "h0st9.example:8080", "127.0.0.1", "x", "9.9.9.9:1"]
+    segs = ["p", "p1", "2024", "item-33", "%41%31", "a_b", "", "0"]
+    cases = []
+    for _ in range(300):
+        s = rng.choice(schemes)
+        h = rng.choice(hosts)
+        path = "/".join(rng.choice(segs) for _ in range(rng.randint(0, 4)))
+        q = rng.choice(["", "?a=1", "?page=9241&x=y", "?9=9"])
+        frag = rng.choice(["", "#f", "#sec2"])
+        cases.append(f"{s}://{h}/{path}{q}{frag}")
+    cases += ["", "no-scheme/1/2", "http://", "://x/1", "123", "http://h/"]
+    df = spark.createDataFrame([(c,) for c in cases], ["u"])
+    for r in df.select("u", url_template(F.col("u")).alias("t")).collect():
+        assert r["t"] == url_template_py(r["u"]), r["u"]
+
+
+def test_preblock_merges_with_resumed_counts(spark, trap_pages, tmp_path):
+    """Preblock + resume: the rebuilt fetchlog counts and the preblocked
+    saturation MAX-merge — a template preblocked at resume time blocks
+    immediately even though its fetchlog count is below the cap, and the
+    crawl still drains to the oracle of the preblocked config."""
+    fx = _fixture(trap_pages, _config(), "tplpre_res")
+    _run(spark, fx, tmp_path, "tplpre_res", max_waves=2)  # cal/1 fetched once
+
+    cfg2 = _config().with_(
+        preblocked_templates=(f"{H}/cal/#/#",)
+    )
+    engine2 = CrawlEngine(
+        spark, cfg2, str(tmp_path / "tplpre_res"),
+        pages=pages_to_spark(spark, fx),
+    )
+    summary2 = engine2.run(fixture=fx, resume=True)
+    visited = {
+        r["url_norm"]
+        for r in engine2.store.read_visited(
+            spark, engine2.store.read_manifest()
+        ).collect()
+    }
+    # waves 0-1 fetched d0 + (cal/1 + 3 real); after resume the preblock
+    # stops every further calendar page, real content finishes
+    assert visited == {
+        normalize_url(u, (), False)
+        for u in [f"{H}/d0", f"{H}/about", f"{H}/contact", f"{H}/team",
+                  f"{H}/cal/2024/1"]
+    }
+    assert sum(m.get("n_template_capped", 0) for m in summary2.wave_metrics) == 1
+
+
 def test_template_cap_toml_round_trip(tmp_path):
     p = tmp_path / "c.toml"
     p.write_text(
