@@ -346,6 +346,52 @@ class CrawlEngine:
         )
         return out.limit(limit) if limit is not None else out
 
+    def template_report(self, limit: int | None = None) -> DataFrame:
+        """Per-template fan-out report over the committed fetchlog — the
+        tuning companion to ``max-pages-per-template``: run a capless (or
+        generously-capped) crawl, read the report, and the templates whose
+        ``n_urls`` dwarf everything else ARE the traps (feed them to
+        ``preblocked-templates``, or pick a cap above the legitimate
+        templates' fan-out). One partial-agg groupBy on the template key
+        (functions/templates.py) — output cardinality is hosts × templates
+        at any crawl size; ``n_capped`` counts units a guard already
+        dropped so a re-run's report shows the guard working. The
+        oracle-checkable analysis twin over the synthetic tables is
+        queries/relational.py q_url_template_traps."""
+        from brink_spark.functions.templates import url_template
+
+        manifest = self.store.read_manifest() or Manifest()
+        if manifest.last_wave < 0:
+            return self.spark.createDataFrame(
+                [],
+                "template string, n_urls long, n_attempts long, n_capped long",
+            )
+        flog = self.store.read_asof(
+            self.spark, "fetchlog", manifest.last_wave
+        ).withColumn("template", url_template(F.col("url_norm")))
+        out = (
+            flog.filter(
+                F.col("outcome").isin(
+                    "miss", "not_allowed", "too_large", "ok", "not_modified",
+                    "template_capped",
+                )
+            )
+            .groupBy("template")
+            .agg(
+                F.countDistinct(
+                    F.when(F.col("outcome") != "template_capped", F.col("url_norm"))
+                ).alias("n_urls"),
+                F.count_if(F.col("outcome") != "template_capped").alias(
+                    "n_attempts"
+                ),
+                F.count_if(F.col("outcome") == "template_capped").alias(
+                    "n_capped"
+                ),
+            )
+            .orderBy(F.col("n_urls").desc(), "template")
+        )
+        return out.limit(limit) if limit is not None else out
+
     def run(
         self,
         fixture=None,

@@ -201,6 +201,24 @@ def test_url_template_spark_equals_python(spark):
     assert "BatchEvalPython" not in explain and plan
 
 
+def test_template_report_surfaces_the_trap(spark, trap_pages, tmp_path):
+    """The tuning companion: after a guarded crawl, template_report shows
+    the calendar template dominating n_urls with its capped units counted,
+    while every real page sits on its own 1-url template."""
+    fx = _fixture(trap_pages, _config(), "tplrep")
+    engine, _ = _run(spark, fx, tmp_path, "tplrep")
+    rep = {r["template"]: r for r in engine.template_report().collect()}
+    cal = rep[f"{H}/cal/#/#"]
+    assert cal["n_urls"] == TCAP and cal["n_attempts"] == TCAP
+    assert cal["n_capped"] == 1
+    for t, r in rep.items():
+        if t != f"{H}/cal/#/#":
+            assert r["n_urls"] == 1 and r["n_capped"] == 0, t
+    # ordered by fan-out: the trap leads
+    first = engine.template_report(limit=1).collect()[0]
+    assert first["template"] == f"{H}/cal/#/#"
+
+
 def test_url_template_fuzz_spark_equals_python(spark):
     """Seeded fuzz over messy URL-shaped strings (ports, userinfo-ish
     text, digits in every segment, queries, fragments, empty/degenerate

