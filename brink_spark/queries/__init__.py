@@ -57,6 +57,7 @@ _DRIVER_GATE_ORDER = [
     "lang_balanced_sample",
     "quality_source_prior",
     "dedup_cdc_chunks",
+    "graph_ppr",
     # --- tier 2: newest green row is r3 (stalest) ---
     "dedup_exact",
     "dedup_ngram_jaccard",

@@ -623,6 +623,91 @@ SELECT node, rank AS rank_x1e6 FROM r3
 """
 
 
+def q_graph_ppr(spark, sf):
+    """Personalized PageRank from a trusted seed set — the crawl-priority
+    variant of q_graph_pagerank: teleport mass returns ONLY to seeds
+    (node % 50 == 0), so rank measures authority *as reachable from the
+    seeds* rather than globally — the frontier-prioritization signal a
+    focused crawl wants (a spam cluster with no seed-side in-links gets
+    zero, where global PageRank still feeds it teleport mass). Same
+    integer arithmetic and 3-round unroll as the global query (ranks in
+    millionths, damping 85/100, floor div identical in both engines);
+    same no-lineage-cut rationale for a fixed small unroll. Top-100 by
+    rank (ties by node) keeps the output driver-hash stable while the
+    full vector stays distributed."""
+    e = _t(spark, sf, "events")
+    edges = e.select(
+        F.pmod("event_id", F.lit(997)).alias("src"),
+        F.pmod(F.col("event_id") * 7 + 13, F.lit(997)).alias("dst"),
+    ).distinct()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    teleport = F.when(F.pmod("node", F.lit(50)) == 0, F.lit(150_000)).otherwise(
+        F.lit(0)
+    )
+    ranks = nodes.withColumn(
+        "rank",
+        F.when(F.pmod("node", F.lit(50)) == 0, F.lit(1_000_000))
+        .otherwise(F.lit(0))
+        .cast("bigint"),
+    )
+    for _ in range(3):
+        contrib = (
+            edges.join(deg, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .select("dst", F.expr("rank div d").alias("c"))
+        )
+        insum = contrib.groupBy("dst").agg(F.sum("c").alias("insum"))
+        ranks = nodes.join(
+            insum.withColumnRenamed("dst", "node"), "node", "left"
+        ).select(
+            "node",
+            (teleport + F.expr("(85 * coalesce(insum, 0L)) div 100"))
+            .cast("bigint")
+            .alias("rank"),
+        )
+    return (
+        ranks.select("node", F.col("rank").alias("ppr_x1e6"))
+        .orderBy(F.col("ppr_x1e6").desc(), "node")
+        .limit(100)
+    )
+
+
+def _sql_ppr_iter(prev: str, out: str) -> str:
+    return f"""
+{out} AS (
+  SELECT n.node,
+         CAST(CASE WHEN n.node % 50 = 0 THEN 150000 ELSE 0 END
+              + (85 * COALESCE(s.insum, 0)) // 100 AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank // d.d) AS insum
+    FROM edges e JOIN deg d ON d.src = e.src JOIN {prev} r ON r.node = e.src
+    GROUP BY e.dst) s ON s.node = n.node)"""
+
+
+SQL_GRAPH_PPR = f"""
+WITH edges AS (
+  SELECT DISTINCT event_id % 997 AS src, (event_id * 7 + 13) % 997 AS dst
+  FROM events),
+nodes AS (SELECT DISTINCT src AS node FROM edges
+          UNION SELECT DISTINCT dst FROM edges),
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+p0 AS (SELECT node,
+              CAST(CASE WHEN node % 50 = 0 THEN 1000000 ELSE 0 END AS BIGINT)
+                AS rank
+       FROM nodes),
+{_sql_ppr_iter("p0", "p1")},
+{_sql_ppr_iter("p1", "p2")},
+{_sql_ppr_iter("p2", "p3")}
+SELECT node, rank AS ppr_x1e6 FROM p3
+ORDER BY rank DESC, node LIMIT 100
+"""
+
+
 def q_graph_components(spark, sf):
     """Connected components by iterative min-label propagation (4 unrolled
     rounds over the undirected events link graph) — the other standard
@@ -2675,6 +2760,7 @@ RELATIONAL_QUERIES = {
     "politeness_topk": (q_politeness_topk, SQL_POLITENESS),
     "sitemap_seeds": (q_sitemap_seeds, SQL_SITEMAP_SEEDS),
     "graph_pagerank": (q_graph_pagerank, SQL_PAGERANK),
+    "graph_ppr": (q_graph_ppr, SQL_GRAPH_PPR),
     "graph_components": (q_graph_components, SQL_COMPONENTS),
     "graph_components_2phase": (q_graph_components_2phase, SQL_COMPONENTS_2PHASE),
     "graph_hits": (q_graph_hits, SQL_GRAPH_HITS),
