@@ -58,6 +58,7 @@ _DRIVER_GATE_ORDER = [
     "quality_source_prior",
     "dedup_cdc_chunks",
     "graph_ppr",
+    "tfidf_cosine_pairs",
     # --- tier 2: newest green row is r3 (stalest) ---
     "dedup_exact",
     "dedup_ngram_jaccard",

@@ -2054,6 +2054,111 @@ FROM ranked WHERE rank <= 5
 SAMPLE_BYTE_CUTOFF = 64  # first md5 byte < 64 -> ~25% deterministic sample
 
 
+TFIDF_COS2_T = 250_000  # cos^2 >= 0.25 i.e. cosine >= 0.5
+
+
+def q_tfidf_cosine_pairs(spark, sf):
+    """tf-idf-weighted cosine similarity pairs — the WEIGHTED member of
+    the similarity family (ngram Jaccard treats 'the' and a rare proper
+    noun alike; idf weighting makes shared RARE terms dominate, the
+    retrieval-grade near-dup signal). Engine-equality discipline: weights
+    are exact integers (w = tf * ((N*1000) div df), no float log idf —
+    q_tfidf_top_terms' trick), dot products and squared norms accumulate
+    in int64, and ONLY the final ratio uses doubles — two divisions and
+    one multiply, each IEEE-correctly-rounded on identical int64 inputs
+    with identical written order in both engines, floored into an integer
+    cos²×10⁶ column so the driver hash never sees a float.
+
+    Scale: terms are df-capped BEFORE the self-join (_drop_hot_keys —
+    stopword-frequency terms carry ~zero idf weight anyway, so the cap
+    drops what the weighting would have ignored), every join partition is
+    bounded by cap², and norms ride a separate partial-agg groupBy joined
+    back per-doc."""
+    d = _docs(spark, sf)
+    words = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.length("term") >= 3)
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = d.agg(F.count(F.lit(1)).alias("n_total"))
+    weighted = (
+        tf.join(df_, "term")
+        .join(F.broadcast(ndocs))
+        .select(
+            "doc_id",
+            "term",
+            F.expr("tf * ((n_total * 1000) div df)")
+            .cast("bigint")
+            .alias("w"),
+        )
+    )
+    norms = weighted.groupBy("doc_id").agg(
+        F.sum(F.expr("w * w")).alias("norm2")
+    )
+    capped = _drop_hot_keys(weighted, ["term"], SHINGLE_DF_CAP)
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = (
+        a.join(b, "term")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.sum(F.expr("a.w * b.w")).alias("dot"),
+        )
+    )
+    scored = (
+        pairs.join(norms.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("norm2", "na2"), "doc_a")
+        .join(norms.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("norm2", "nb2"), "doc_b")
+        .withColumn(
+            "cos2_x1e6",
+            F.floor(
+                (F.col("dot").cast("double") / F.col("na2"))
+                * (F.col("dot").cast("double") / F.col("nb2"))
+                * F.lit(1_000_000.0)
+            ).cast("bigint"),
+        )
+        .filter(F.col("cos2_x1e6") >= TFIDF_COS2_T)
+    )
+    return scored.select("doc_a", "doc_b", "n_shared", "dot", "cos2_x1e6")
+
+
+SQL_TFIDF_COSINE_PAIRS = f"""
+WITH words AS (
+  SELECT doc_id, t.term
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(term)
+  WHERE length(t.term) >= 3),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+wt AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf.tf * (((SELECT COUNT(*) FROM documents) * 1000) // dft.df)
+              AS BIGINT) AS w
+  FROM tf JOIN dft USING (term)),
+norms AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS norm2
+          FROM wt GROUP BY 1),
+capped AS (
+  SELECT * FROM wt WHERE term NOT IN (
+    SELECT term FROM wt GROUP BY term HAVING COUNT(*) > {SHINGLE_DF_CAP})),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         COUNT(*) AS n_shared, CAST(SUM(a.w * b.w) AS BIGINT) AS dot
+  FROM capped a JOIN capped b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT p.doc_a, p.doc_b, p.n_shared, p.dot,
+       CAST(FLOOR((CAST(p.dot AS DOUBLE) / na.norm2)
+                  * (CAST(p.dot AS DOUBLE) / nb.norm2)
+                  * 1000000.0) AS BIGINT) AS cos2_x1e6
+FROM pairs p
+JOIN norms na ON na.doc_id = p.doc_a
+JOIN norms nb ON nb.doc_id = p.doc_b
+WHERE FLOOR((CAST(p.dot AS DOUBLE) / na.norm2)
+            * (CAST(p.dot AS DOUBLE) / nb.norm2) * 1000000.0)
+      >= {TFIDF_COS2_T}
+"""
+
+
 def q_sample_stratified(spark, sf):
     """Deterministic hash-stratified sampling — the training-data op for
     building fixed per-language subsets reproducibly on any cluster size:
@@ -2698,6 +2803,7 @@ PIPELINE_QUERIES = {
     "multimodal_frame_sample": (q_multimodal_frame_sample, SQL_MULTIMODAL_FRAMES),
     "media_span_join": (q_media_span_join, SQL_MEDIA_SPAN_JOIN),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF),
+    "tfidf_cosine_pairs": (q_tfidf_cosine_pairs, SQL_TFIDF_COSINE_PAIRS),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION),
