@@ -19,12 +19,55 @@ LEVELS = tuple(int(x) for x in os.environ.get("BRINK_LEVELS", "1,4").split(","))
 REPEATS = int(os.environ.get("BRINK_REPEATS", "3"))
 
 
+_SUBMIT_ZIP: list[str] = []  # built once on first use
+
+
+def _cmd(cpus: int) -> tuple[list[str], dict]:
+    """Plain-python launch, or the literal spark-submit --py-files deploy
+    shape when BRINK_SUBMIT=1 (the north rule's wording)."""
+    env = dict(os.environ)
+    if os.environ.get("BRINK_SUBMIT") == "1":
+        if not _SUBMIT_ZIP:
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            import make_pyfiles
+            import shutil as _sh
+
+            _SUBMIT_ZIP.append(
+                make_pyfiles.build("/dev/shm/brink_fetch_submit.zip")
+            )
+            _SUBMIT_ZIP.append(_sh.which("spark-submit") or "")
+            if not _SUBMIT_ZIP[1]:
+                raise SystemExit("BRINK_SUBMIT=1 but no spark-submit on PATH")
+        env["BRINK_UNDER_SUBMIT"] = "1"
+        return (
+            [
+                _SUBMIT_ZIP[1],
+                "--master", f"local[{cpus}]",
+                "--driver-memory", os.environ.get("SPARK_DRIVER_MEM", "8g"),
+                "--py-files", _SUBMIT_ZIP[0],
+                os.path.join(REPO, "tools/bench_scaling.py"),
+                "fetch", str(cpus),
+            ],
+            env,
+        )
+    return (
+        [
+            sys.executable,
+            os.path.join(REPO, "tools/bench_scaling.py"),
+            "fetch", str(cpus),
+        ],
+        env,
+    )
+
+
 def run_one(cpus: int) -> dict:
+    cmd, env = _cmd(cpus)
     proc = subprocess.run(
-        [sys.executable, os.path.join(REPO, "tools/bench_scaling.py"), "fetch", str(cpus)],
+        cmd,
         capture_output=True,
         text=True,
         cwd=REPO,
+        env=env,
     )
     lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
     if not lines:
