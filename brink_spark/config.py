@@ -91,6 +91,17 @@ class CrawlConfig:
     # units drop from wave 0 without re-spending the cap. Ignored when
     # max_pages_per_template == 0.
     preblocked_templates: tuple = ()
+    # retry_misses: max RETRIES for transport-miss fetches (0 = off, the
+    # reference-parity default: a missed unit's edges drop and the url is
+    # only re-attempted if a later page links it again). With N > 0 a
+    # missed unit's edges re-enqueue into the next frontier until the url
+    # has missed N+1 times total — the transient-failure (timeout / reset
+    # / DNS blip) recovery every production crawler needs. The url is NOT
+    # in visited (only ok fetches are), so the re-enqueued edges flow as
+    # ordinary fresh edges: politeness re-applies, trap guards keep
+    # counting each attempt, and idle-stop still fires once the budget is
+    # spent.
+    retry_misses: int = 0
     # --- reference worker-model knobs (crawler.go:53-62), mapped onto the
     # wave model. worker_count (goroutine count) is a parallelism hint: it
     # RAISES the fetch-stage partition count floor (never caps it below the
@@ -249,6 +260,7 @@ _TOML_KEYS = {
     "max-pages-per-host": "max_pages_per_host",
     "max-pages-per-template": "max_pages_per_template",
     "preblocked-templates": "preblocked_templates",
+    "retry-misses": "retry_misses",
     "sitemap-discovery": "sitemap_discovery",
     "fetch-partitions": "fetch_partitions",
     "page-pin-bytes": "page_pin_bytes",

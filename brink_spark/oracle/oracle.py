@@ -188,6 +188,8 @@ def crawl_oracle(fixture: SiteFixture, config: Optional[CrawlConfig] = None) -> 
     # max_pages_per_template trap guard: lifetime fetch-attempt counts per
     # URL template (functions/templates.py url_template_py — the exact
     # Python mirror of the engine's native expression)
+    # retry_misses trap-door: lifetime transport-miss counts per url
+    miss_counts: dict[str, int] = {}
     template_taken: dict[str, int] = {}
     _tcap0 = getattr(config, "max_pages_per_template", 0)
     if _tcap0 > 0:
@@ -215,7 +217,8 @@ def crawl_oracle(fixture: SiteFixture, config: Optional[CrawlConfig] = None) -> 
         m = dict(wave=wave, n_frontier=len(frontier), n_malformed=0, n_cached=0,
                  n_units=0, n_robots_denied=0, n_deferred=0, n_fetched=0,
                  n_miss=0, n_not_allowed=0, n_too_large=0, n_ok=0, n_new_links=0,
-                 n_host_capped=0, n_template_capped=0, n_depth_capped=0)
+                 n_host_capped=0, n_template_capped=0, n_depth_capped=0,
+                 n_miss_retry=0)
 
         # 1. normalize + drop malformed (C7)
         normed: list[tuple[Edge, str]] = []
@@ -340,6 +343,15 @@ def crawl_oracle(fixture: SiteFixture, config: Optional[CrawlConfig] = None) -> 
                 page = None  # 10th redirect refused — transport error
             if page is None:
                 m["n_miss"] += 1
+                retry_n = getattr(config, "retry_misses", 0)
+                if retry_n > 0:
+                    miss_counts[un] = miss_counts.get(un, 0) + 1
+                    if miss_counts[un] <= retry_n:
+                        # re-enqueue every discovering edge of the missed
+                        # unit (engine parity: the url is not visited, so
+                        # the edges flow as ordinary fresh edges next wave)
+                        deferred_edges.extend(edges)
+                        m["n_miss_retry"] += 1
                 continue
             # response cookies merge BEFORE the domain/content gates
             # (brink.go:199-204: addCookies runs right after client.Do, so

@@ -170,6 +170,10 @@ class CrawlEngine:
         # only the SATURATED templates (taken >= cap), so the broadcast
         # side holds just the actual traps, never every template.
         self._template_taken: DataFrame | None = None
+        # cumulative (url_norm, _mn) transport-miss counts — retry_misses
+        # state (same lifecycle as _host_taken; rebuilt from fetchlog on
+        # resume; stays None while the feature is off)
+        self._miss_counts: DataFrame | None = None
         # refetch_skip_unchanged comparison set: (url_norm, prior_hash) of
         # expired entries, computed once per run() (expiry only happens
         # between runs). None when the flag is off or nothing is expired.
@@ -516,6 +520,20 @@ class CrawlEngine:
                     )
                 else:
                     self._template_taken = None
+            # rebuild the per-url transport-miss counts (retry_misses)
+            if self.config.retry_misses > 0:
+                if manifest.last_wave >= 0:
+                    self._miss_counts = (
+                        self.store.read_asof(
+                            self.spark, "fetchlog", manifest.last_wave
+                        )
+                        .filter(F.col("outcome") == "miss")
+                        .groupBy("url_norm")
+                        .agg(F.count(F.lit(1)).alias("_mn"))
+                        .localCheckpoint(eager=True)
+                    )
+                else:
+                    self._miss_counts = None
             # restore the runtime request state committed with the last wave
             # (cookies from committed waves survive a crash; the suppressed
             # Authorization header stays suppressed). Pre-jar manifests
@@ -1597,6 +1615,40 @@ class CrawlEngine:
             & ~F.col("host_capped")
             & ~F.col("template_capped")
         ).select("linked_from", "url", "priority", "depth")
+        m["n_miss_retry"] = 0
+        if cfg.retry_misses > 0:
+            # transport-miss retry: fold this wave's per-url miss counts,
+            # then re-enqueue EVERY discovering edge of each missed unit
+            # whose lifetime miss count is still within the retry budget.
+            # The url is not in visited (only ok fetches are), so the
+            # re-enqueued edges flow as ordinary fresh edges next wave.
+            # The retry set is wave-miss-sized — it rides a broadcast.
+            wave_miss = fetchpage.filter(F.col("outcome") == "miss").select(
+                "url_norm"
+            )
+            wave_mn = wave_miss.groupBy("url_norm").agg(
+                F.count(F.lit(1)).alias("_mn")
+            )
+            merged_mn = (
+                wave_mn
+                if self._miss_counts is None
+                else self._miss_counts.unionByName(wave_mn)
+                .groupBy("url_norm")
+                .agg(F.sum("_mn").alias("_mn"))
+            )
+            self._miss_counts = merged_mn.localCheckpoint(eager=True)
+            retry_set = (
+                self._miss_counts.join(wave_miss, "url_norm")
+                .filter(F.col("_mn") <= cfg.retry_misses)
+                .select("url_norm")
+            )
+            m["n_miss_retry"] = retry_set.count()  # tiny; feature-gated
+            retry_edges = (
+                edges.filter(F.col("edge_kind") == "fresh")
+                .join(F.broadcast(retry_set), "url_norm")
+                .select("linked_from", "url", "priority", "depth")
+            )
+            deferred_edges = deferred_edges.unionByName(retry_edges)
         obs_next = Observation(f"w{wave}_frontier_next")
         # depth trap guard (max_depth > 0): outlinks beyond the link-hop
         # budget are counted then dropped BEFORE the frontier write. The
