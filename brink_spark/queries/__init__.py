@@ -59,6 +59,7 @@ _DRIVER_GATE_ORDER = [
     "dedup_cdc_chunks",
     "graph_ppr",
     "tfidf_cosine_pairs",
+    "basket_lift",
     # --- tier 2: newest green row is r3 (stalest) ---
     "dedup_exact",
     "dedup_ngram_jaccard",

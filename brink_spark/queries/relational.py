@@ -1105,6 +1105,82 @@ HAVING COUNT(*) >= 2
 """
 
 
+def q_basket_lift(spark, sf):
+    """Association-rule metrics over the basket pairs: lift and directed
+    confidence, both in EXACT integer millionths — lift_x1e6 =
+    (s_ab * n_orders * 10^6) div (s_a * s_b) and conf_a_to_b_x1e6 =
+    (s_ab * 10^6) div s_a, so no float ratio ever crosses the driver
+    hash. Lift > 1e6 means the pair co-occurs more than independence
+    predicts — the signal support counts alone can't give (a pair of two
+    universally-popular parts has huge support and lift ≈ 1). Plan: the
+    co-partitioned pair join from q_basket_pairs, one partial-agg per-item
+    support rollup joined back (item-support side is item-cardinality —
+    AQE broadcasts it at dim size), and a 1-row order-count scalar."""
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n_orders = li.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s_item"))
+    a = li.withColumnRenamed("l_partkey", "part_a")
+    b = li.withColumnRenamed("l_partkey", "part_b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("s_ab"))
+        .where(F.col("s_ab") >= 2)
+    )
+    return (
+        pairs.join(
+            item.select(
+                F.col("l_partkey").alias("part_a"), F.col("s_item").alias("s_a")
+            ),
+            "part_a",
+        )
+        .join(
+            item.select(
+                F.col("l_partkey").alias("part_b"), F.col("s_item").alias("s_b")
+            ),
+            "part_b",
+        )
+        .join(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "s_ab",
+            "s_a",
+            "s_b",
+            F.expr("(s_ab * n_orders * 1000000) div (s_a * s_b)")
+            .cast("bigint")
+            .alias("lift_x1e6"),
+            F.expr("(s_ab * 1000000) div s_a").cast("bigint").alias(
+                "conf_a_to_b_x1e6"
+            ),
+        )
+    )
+
+
+SQL_BASKET_LIFT = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li),
+item AS (SELECT l_partkey, COUNT(*) AS s_item FROM li GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS s_ab
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+SELECT p.part_a, p.part_b, p.s_ab,
+       ia.s_item AS s_a, ib.s_item AS s_b,
+       CAST((p.s_ab * n.n_orders * 1000000) // (ia.s_item * ib.s_item)
+            AS BIGINT) AS lift_x1e6,
+       CAST((p.s_ab * 1000000) // ia.s_item AS BIGINT) AS conf_a_to_b_x1e6
+FROM pairs p
+JOIN item ia ON ia.l_partkey = p.part_a
+JOIN item ib ON ib.l_partkey = p.part_b
+CROSS JOIN n
+"""
+
+
 def q_events_zscore_outliers(spark, sf):
     """Per-user anomaly detection: count events whose value is more than
     2 population-stddevs from the user's mean — with the z-test done in
@@ -2769,6 +2845,7 @@ RELATIONAL_QUERIES = {
     "events_cube": (q_events_cube, SQL_EVENTS_CUBE),
     "graph_triangles": (q_graph_triangles, SQL_GRAPH_TRIANGLES),
     "basket_pairs": (q_basket_pairs, SQL_BASKET_PAIRS),
+    "basket_lift": (q_basket_lift, SQL_BASKET_LIFT),
     "events_zscore_outliers": (q_events_zscore_outliers, SQL_ZSCORE_OUTLIERS),
     "volume_shipping": (q_volume_shipping, SQL_VOLUME_SHIPPING),
     "promo_effect": (q_promo_effect, SQL_PROMO_EFFECT),

@@ -42,6 +42,7 @@ BNLJ_WHITELIST = {
     "recrawl_priority": "corpus max-timestamp scalar (crawl-clock 'now') — 1-row build side",
     "lang_balanced_sample": "sum-of-isqrt quota denominator scalar — 1-row build side",
     "tfidf_cosine_pairs": "corpus doc-count scalar (integer idf) — 1-row build side",
+    "basket_lift": "order-count scalar (lift denominator) — 1-row build side",
     # constant parameter tables: the build side is O(k) config rows
     # (hash-permutation seeds / IVF centroids / simhash bit-planes), not
     # data — the cross join fans each row out k ways by construction
