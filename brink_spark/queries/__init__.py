@@ -60,6 +60,7 @@ _DRIVER_GATE_ORDER = [
     "graph_ppr",
     "tfidf_cosine_pairs",
     "basket_lift",
+    "events_mad_outliers",
     # --- tier 2: newest green row is r3 (stalest) ---
     "dedup_exact",
     "dedup_ngram_jaccard",

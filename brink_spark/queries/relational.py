@@ -1105,6 +1105,79 @@ HAVING COUNT(*) >= 2
 """
 
 
+def q_events_mad_outliers(spark, sf):
+    """Robust per-user anomaly detection: median absolute deviation
+    instead of mean/stddev (q_events_zscore_outliers' z-test breaks when
+    the outliers themselves inflate the stddev — MAD has a 50 % breakdown
+    point where the z-test has 0 %). Engine equality without integer
+    tricks: the medians are DISC selections (row_number picks the
+    lower-median ELEMENT — an existing double, bit-identical in both
+    engines — never an interpolated average), deviations and the 3×MAD
+    comparison operate on those identical doubles, and the only emitted
+    floats are floored into integer ×10⁴ columns. Windows partition by
+    user_id — bounded per-user event counts, not a hot analytic key.
+    Output: per user, n_events, n_outliers, med_x1e4, mad_x1e4."""
+    ev = _t(spark, sf, "events").select("user_id", "event_id", "value")
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    wc = Window.partitionBy("user_id")
+    med = (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wc))
+        .filter(F.col("_rn") == F.expr("(_n + 1) div 2"))
+        .select("user_id", F.col("value").alias("med"))
+    )
+    dev = ev.join(med, "user_id").withColumn(
+        "_dev", F.abs(F.col("value") - F.col("med"))
+    )
+    wd = Window.partitionBy("user_id").orderBy("_dev", "event_id")
+    mad = (
+        dev.withColumn("_rn", F.row_number().over(wd))
+        .withColumn("_n", F.count(F.lit(1)).over(wc))
+        .filter(F.col("_rn") == F.expr("(_n + 1) div 2"))
+        .select("user_id", F.col("_dev").alias("mad"))
+    )
+    return (
+        dev.join(mad, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_if(F.col("_dev") > 3 * F.col("mad")).alias("n_outliers"),
+            F.floor(F.first("med") * 10000).cast("bigint").alias("med_x1e4"),
+            F.floor(F.first("mad") * 10000).cast("bigint").alias("mad_x1e4"),
+        )
+    )
+
+
+SQL_EVENTS_MAD = """
+WITH ev AS (SELECT user_id, event_id, value FROM events),
+med AS (
+  SELECT user_id, value AS med FROM (
+    SELECT user_id, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY value, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY user_id) AS n
+    FROM ev)
+  WHERE rn = (n + 1) // 2),
+dev AS (
+  SELECT ev.user_id, ev.event_id, ABS(ev.value - med.med) AS d, med.med
+  FROM ev JOIN med USING (user_id)),
+mad AS (
+  SELECT user_id, d AS mad FROM (
+    SELECT user_id, d,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY d, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY user_id) AS n
+    FROM dev)
+  WHERE rn = (n + 1) // 2)
+SELECT dev.user_id, COUNT(*) AS n_events,
+       CAST(COUNT(*) FILTER (dev.d > 3 * mad.mad) AS BIGINT) AS n_outliers,
+       CAST(FLOOR(ANY_VALUE(dev.med) * 10000) AS BIGINT) AS med_x1e4,
+       CAST(FLOOR(ANY_VALUE(mad.mad) * 10000) AS BIGINT) AS mad_x1e4
+FROM dev JOIN mad USING (user_id)
+GROUP BY 1
+"""
+
+
 def q_basket_lift(spark, sf):
     """Association-rule metrics over the basket pairs: lift and directed
     confidence, both in EXACT integer millionths — lift_x1e6 =
@@ -2846,6 +2919,7 @@ RELATIONAL_QUERIES = {
     "graph_triangles": (q_graph_triangles, SQL_GRAPH_TRIANGLES),
     "basket_pairs": (q_basket_pairs, SQL_BASKET_PAIRS),
     "basket_lift": (q_basket_lift, SQL_BASKET_LIFT),
+    "events_mad_outliers": (q_events_mad_outliers, SQL_EVENTS_MAD),
     "events_zscore_outliers": (q_events_zscore_outliers, SQL_ZSCORE_OUTLIERS),
     "volume_shipping": (q_volume_shipping, SQL_VOLUME_SHIPPING),
     "promo_effect": (q_promo_effect, SQL_PROMO_EFFECT),
