@@ -90,6 +90,10 @@ HEADLINE = [
     "dedup_cdc_chunks",
     "recrawl_priority",
     "pack_sequences",
+    "graph_ppr",
+    "tfidf_cosine_pairs",
+    "basket_lift",
+    "events_mad_outliers",
 ]
 
 CRAWL_WAVES = 10
