@@ -61,6 +61,7 @@ _DRIVER_GATE_ORDER = [
     "tfidf_cosine_pairs",
     "basket_lift",
     "events_mad_outliers",
+    "url_near_dedup",
     # --- tier 2: newest green row is r3 (stalest) ---
     "dedup_exact",
     "dedup_ngram_jaccard",

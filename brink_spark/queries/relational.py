@@ -1105,6 +1105,94 @@ HAVING COUNT(*) >= 2
 """
 
 
+URL_NEAR_EDIT_MAX = 2
+
+
+def q_url_near_dedup(spark, sf):
+    """Near-duplicate URL mining: same-host URL pairs whose paths are
+    within edit distance 2 — the session-id / trailing-counter / typo
+    variants that exact normalization can't collapse (B1-B3 handles
+    declared ignore-params; this catches the undeclared ones). The pair
+    space is blocked by (host, TEMPLATE): only URLs sharing a
+    digit-collapsed template pair up — exactly the same-shape variants
+    edit distance is meant for — so the quadratic join is bounded per
+    template group instead of per host (the cal trap's ~100 urls/host
+    pair within one group; the item templates stay tiny). levenshtein is
+    native in both engines with identical semantics. Output: per (host,
+    template), distinct urls, candidate pairs, near pairs."""
+    e = _t(spark, sf, "events")
+    urls = e.select(
+        F.concat(
+            F.lit("host"),
+            F.pmod("user_id", F.lit(20)).cast("string"),
+            F.lit(".example"),
+        ).alias("host"),
+        F.when(
+            F.col("event_type") == "view",
+            F.concat(
+                F.lit("/cal/"),
+                (F.lit(2000) + F.pmod("event_id", F.lit(26))).cast("string"),
+                F.lit("/"),
+                (F.lit(1) + F.pmod("event_id", F.lit(12))).cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("/"),
+                F.col("event_type"),
+                F.lit("/item-"),
+                F.pmod("event_id", F.lit(37)).cast("string"),
+            )
+        )
+        .alias("path"),
+    ).distinct()
+    tpl = urls.withColumn(
+        "template", F.regexp_replace("path", "[0-9]+", "#")
+    )
+    a, b = tpl.alias("a"), tpl.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.host") == F.col("b.host"))
+            & (F.col("a.template") == F.col("b.template"))
+            & (F.col("a.path") < F.col("b.path")),
+        )
+        .select(
+            F.col("a.host").alias("host"),
+            F.col("a.template").alias("template"),
+            F.levenshtein(F.col("a.path"), F.col("b.path")).alias("ed"),
+        )
+    )
+    return pairs.groupBy("host", "template").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count_if(F.col("ed") <= URL_NEAR_EDIT_MAX).alias("n_near"),
+    )
+
+
+SQL_URL_NEAR_DEDUP = f"""
+WITH u AS (
+  SELECT DISTINCT
+         'host' || CAST(user_id % 20 AS VARCHAR) || '.example' AS host,
+         CASE WHEN event_type = 'view'
+              THEN '/cal/' || CAST(2000 + event_id % 26 AS VARCHAR)
+                   || '/' || CAST(1 + event_id % 12 AS VARCHAR)
+              ELSE '/' || event_type || '/item-'
+                   || CAST(event_id % 37 AS VARCHAR)
+         END AS path
+  FROM events),
+t AS (SELECT host, path,
+             regexp_replace(path, '[0-9]+', '#', 'g') AS template
+      FROM u),
+p AS (
+  SELECT a.host, a.template, levenshtein(a.path, b.path) AS ed
+  FROM t a JOIN t b
+    ON a.host = b.host AND a.template = b.template AND a.path < b.path)
+SELECT host, template, COUNT(*) AS n_pairs,
+       CAST(COUNT(*) FILTER (ed <= {URL_NEAR_EDIT_MAX}) AS BIGINT) AS n_near
+FROM p GROUP BY 1, 2
+"""
+
+
 def q_events_mad_outliers(spark, sf):
     """Robust per-user anomaly detection: median absolute deviation
     instead of mean/stddev (q_events_zscore_outliers' z-test breaks when
@@ -2920,6 +3008,7 @@ RELATIONAL_QUERIES = {
     "basket_pairs": (q_basket_pairs, SQL_BASKET_PAIRS),
     "basket_lift": (q_basket_lift, SQL_BASKET_LIFT),
     "events_mad_outliers": (q_events_mad_outliers, SQL_EVENTS_MAD),
+    "url_near_dedup": (q_url_near_dedup, SQL_URL_NEAR_DEDUP),
     "events_zscore_outliers": (q_events_zscore_outliers, SQL_ZSCORE_OUTLIERS),
     "volume_shipping": (q_volume_shipping, SQL_VOLUME_SHIPPING),
     "promo_effect": (q_promo_effect, SQL_PROMO_EFFECT),
