@@ -94,6 +94,7 @@ HEADLINE = [
     "tfidf_cosine_pairs",
     "basket_lift",
     "events_mad_outliers",
+    "url_near_dedup",
 ]
 
 CRAWL_WAVES = 10
