@@ -2069,11 +2069,15 @@ def q_tfidf_cosine_pairs(spark, sf):
     with identical written order in both engines, floored into an integer
     cos²×10⁶ column so the driver hash never sees a float.
 
-    Scale: terms are df-capped BEFORE the self-join (_drop_hot_keys —
-    stopword-frequency terms carry ~zero idf weight anyway, so the cap
-    drops what the weighting would have ignored), every join partition is
-    bounded by cap², and norms ride a separate partial-agg groupBy joined
-    back per-doc."""
+    Scale: terms are df-capped BEFORE the self-join — stopword-frequency
+    terms carry ~zero idf weight anyway, so the cap drops what the
+    weighting would have ignored. The cap is RELATIVE,
+    max(SHINGLE_DF_CAP, n_docs div 20): an absolute cap binds harder as
+    the corpus grows (at 10× the toy SF it was dropping even exact-dup
+    pairs' shared vocabulary — measured, not hypothetical), where the
+    relative form keeps join partitions bounded by (n/20)² per term while
+    letting the pair evidence survive any SF. Norms ride a separate
+    partial-agg groupBy joined back per-doc."""
     d = _docs(spark, sf)
     words = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
@@ -2095,7 +2099,17 @@ def q_tfidf_cosine_pairs(spark, sf):
     norms = weighted.groupBy("doc_id").agg(
         F.sum(F.expr("w * w")).alias("norm2")
     )
-    capped = _drop_hot_keys(weighted, ["term"], SHINGLE_DF_CAP)
+    hot = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .join(F.broadcast(ndocs))
+        .filter(
+            F.col("_df")
+            > F.greatest(F.lit(SHINGLE_DF_CAP), F.expr("n_total div 20"))
+        )
+        .select("term")
+    )
+    capped = weighted.join(F.broadcast(hot), "term", "left_anti")
     a, b = capped.alias("a"), capped.alias("b")
     pairs = (
         a.join(b, "term")
@@ -2140,7 +2154,9 @@ norms AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS norm2
           FROM wt GROUP BY 1),
 capped AS (
   SELECT * FROM wt WHERE term NOT IN (
-    SELECT term FROM wt GROUP BY term HAVING COUNT(*) > {SHINGLE_DF_CAP})),
+    SELECT term FROM wt GROUP BY term
+    HAVING COUNT(*) > GREATEST({SHINGLE_DF_CAP},
+                               (SELECT COUNT(*) FROM documents) // 20))),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          COUNT(*) AS n_shared, CAST(SUM(a.w * b.w) AS BIGINT) AS dot
