@@ -62,6 +62,7 @@ _DRIVER_GATE_ORDER = [
     "basket_lift",
     "events_mad_outliers",
     "url_near_dedup",
+    "graph_reachability",
     # --- tier 2: newest green row is r3 (stalest) ---
     "dedup_exact",
     "dedup_ngram_jaccard",

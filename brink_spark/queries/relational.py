@@ -1105,6 +1105,76 @@ HAVING COUNT(*) >= 2
 """
 
 
+def q_graph_reachability(spark, sf):
+    """Seed-set k-hop reachability with first-discovery hop labels — the
+    crawl frontier's BFS semantics as an analytics query (hop = the wave
+    a URL would first be discovered in; the depth trap guard's `depth` is
+    exactly this number). 3 unrolled hops from the trusted seed set
+    (node % 50 == 0) over the synthesized link graph; each hop is one
+    semi-join + anti-join against the accumulated reach set, the
+    distributed BFS step (at 10^10 nodes the anti-join side is the
+    Bloom/cuckoo seen set, operators/seen.py — same shape). Output:
+    per-hop node counts plus a sum-of-node-ids checksum so the driver
+    hash pins membership, not just cardinality."""
+    e = _t(spark, sf, "events")
+    edges = e.select(
+        F.pmod("event_id", F.lit(997)).alias("src"),
+        F.pmod(F.col("event_id") * 7 + 13, F.lit(997)).alias("dst"),
+    ).distinct()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    frontier = nodes.filter(F.pmod("node", F.lit(50)) == 0).withColumn(
+        "hop", F.lit(0)
+    )
+    reach = frontier
+    for h in (1, 2, 3):
+        nxt = (
+            edges.join(
+                frontier.select(F.col("node").alias("src")), "src", "semi"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(reach.select("node"), "node", "anti")
+            .withColumn("hop", F.lit(h))
+        )
+        reach = reach.unionByName(nxt)
+        frontier = nxt
+    return reach.groupBy("hop").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("node").alias("node_id_sum"),
+    )
+
+
+SQL_GRAPH_REACHABILITY = """
+WITH edges AS (
+  SELECT DISTINCT event_id % 997 AS src, (event_id * 7 + 13) % 997 AS dst
+  FROM events),
+nodes AS (SELECT DISTINCT src AS node FROM edges
+          UNION SELECT DISTINCT dst FROM edges),
+h0 AS (SELECT node, 0 AS hop FROM nodes WHERE node % 50 = 0),
+h1 AS (
+  SELECT DISTINCT e.dst AS node, 1 AS hop FROM edges e
+  WHERE e.src IN (SELECT node FROM h0)
+    AND e.dst NOT IN (SELECT node FROM h0)),
+h2 AS (
+  SELECT DISTINCT e.dst AS node, 2 AS hop FROM edges e
+  WHERE e.src IN (SELECT node FROM h1)
+    AND e.dst NOT IN (SELECT node FROM h0 UNION ALL SELECT node FROM h1)),
+h3 AS (
+  SELECT DISTINCT e.dst AS node, 3 AS hop FROM edges e
+  WHERE e.src IN (SELECT node FROM h2)
+    AND e.dst NOT IN (SELECT node FROM h0 UNION ALL SELECT node FROM h1
+                      UNION ALL SELECT node FROM h2)),
+r AS (SELECT * FROM h0 UNION ALL SELECT * FROM h1
+      UNION ALL SELECT * FROM h2 UNION ALL SELECT * FROM h3)
+SELECT hop, COUNT(*) AS n_nodes, CAST(SUM(node) AS BIGINT) AS node_id_sum
+FROM r GROUP BY 1
+"""
+
+
 URL_NEAR_EDIT_MAX = 2
 
 
@@ -3009,6 +3079,7 @@ RELATIONAL_QUERIES = {
     "basket_lift": (q_basket_lift, SQL_BASKET_LIFT),
     "events_mad_outliers": (q_events_mad_outliers, SQL_EVENTS_MAD),
     "url_near_dedup": (q_url_near_dedup, SQL_URL_NEAR_DEDUP),
+    "graph_reachability": (q_graph_reachability, SQL_GRAPH_REACHABILITY),
     "events_zscore_outliers": (q_events_zscore_outliers, SQL_ZSCORE_OUTLIERS),
     "volume_shipping": (q_volume_shipping, SQL_VOLUME_SHIPPING),
     "promo_effect": (q_promo_effect, SQL_PROMO_EFFECT),
