@@ -63,6 +63,7 @@ _DRIVER_GATE_ORDER = [
     "events_mad_outliers",
     "url_near_dedup",
     "graph_reachability",
+    "events_markov",
     # --- tier 2: newest green row is r3 (stalest) ---
     "dedup_exact",
     "dedup_ngram_jaccard",

@@ -1105,6 +1105,49 @@ HAVING COUNT(*) >= 2
 """
 
 
+def q_events_markov(spark, sf):
+    """Per-user event-type transition matrix (the first-order Markov
+    chain under every funnel/session analysis): lag each user's event
+    stream, count (from_type, to_type) transitions, and emit the row-
+    normalized transition probability in exact integer millionths
+    (count * 10^6 div from_total). Plan: one keyed window (partition by
+    user, bounded history), one partial-agg groupBy on the tiny
+    (from, to) key space, and the row totals join back on the
+    ~|event_types| build side."""
+    ev = _t(spark, sf, "events").select("user_id", "event_id", "event_type",
+                                        F.unix_timestamp("ts").alias("sec"))
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    trans = (
+        ev.withColumn("from_type", F.lag("event_type").over(w))
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", F.col("event_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = trans.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return trans.join(totals, "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("(n * 1000000) div n_from").cast("bigint").alias("prob_x1e6"),
+    )
+
+
+SQL_EVENTS_MARKOV = """
+WITH s AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_type
+  FROM events),
+t AS (
+  SELECT from_type, event_type AS to_type, COUNT(*) AS n
+  FROM s WHERE from_type IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT from_type, SUM(n) AS n_from FROM t GROUP BY 1)
+SELECT t.from_type, t.to_type, t.n,
+       CAST((t.n * 1000000) // tot.n_from AS BIGINT) AS prob_x1e6
+FROM t JOIN tot USING (from_type)
+"""
+
+
 def q_graph_reachability(spark, sf):
     """Seed-set k-hop reachability with first-discovery hop labels — the
     crawl frontier's BFS semantics as an analytics query (hop = the wave
@@ -3080,6 +3123,7 @@ RELATIONAL_QUERIES = {
     "events_mad_outliers": (q_events_mad_outliers, SQL_EVENTS_MAD),
     "url_near_dedup": (q_url_near_dedup, SQL_URL_NEAR_DEDUP),
     "graph_reachability": (q_graph_reachability, SQL_GRAPH_REACHABILITY),
+    "events_markov": (q_events_markov, SQL_EVENTS_MARKOV),
     "events_zscore_outliers": (q_events_zscore_outliers, SQL_ZSCORE_OUTLIERS),
     "volume_shipping": (q_volume_shipping, SQL_VOLUME_SHIPPING),
     "promo_effect": (q_promo_effect, SQL_PROMO_EFFECT),
