@@ -64,6 +64,7 @@ _DRIVER_GATE_ORDER = [
     "url_near_dedup",
     "graph_reachability",
     "events_markov",
+    "host_connectivity",
     # --- tier 2: newest green row is r3 (stalest) ---
     "dedup_exact",
     "dedup_ngram_jaccard",

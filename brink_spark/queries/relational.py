@@ -1105,6 +1105,71 @@ HAVING COUNT(*) >= 2
 """
 
 
+def q_host_connectivity(spark, sf):
+    """Host-level web-graph profiling: per-host out/in degree and the
+    cross-host link share in integer millionths — the structural signal
+    crawl scheduling reads (a host whose outlinks are overwhelmingly
+    internal is a silo; a high cross-host in-share marks a hub worth
+    prioritizing, which is what the PageRank→priority loop then
+    formalizes). Node → host via modulo (20 hosts over the 997-node
+    synthesized graph); one partial-agg groupBy per direction joined on
+    the 20-row host key."""
+    e = _t(spark, sf, "events")
+    edges = e.select(
+        F.pmod("event_id", F.lit(997)).alias("src"),
+        F.pmod(F.col("event_id") * 7 + 13, F.lit(997)).alias("dst"),
+    ).distinct()
+    hosted = edges.select(
+        F.pmod("src", F.lit(20)).alias("src_host"),
+        F.pmod("dst", F.lit(20)).alias("dst_host"),
+    )
+    out = hosted.groupBy(F.col("src_host").alias("host")).agg(
+        F.count(F.lit(1)).alias("out_edges"),
+        F.count_if(F.col("src_host") != F.col("dst_host")).alias("out_cross"),
+    )
+    inn = hosted.groupBy(F.col("dst_host").alias("host")).agg(
+        F.count(F.lit(1)).alias("in_edges"),
+        F.count_if(F.col("src_host") != F.col("dst_host")).alias("in_cross"),
+    )
+    return out.join(inn, "host", "full").select(
+        "host",
+        F.coalesce("out_edges", F.lit(0)).alias("out_edges"),
+        F.coalesce("in_edges", F.lit(0)).alias("in_edges"),
+        F.expr(
+            "(coalesce(out_cross, 0L) * 1000000)"
+            " div greatest(coalesce(out_edges, 0L), 1L)"
+        ).cast("bigint").alias("out_cross_x1e6"),
+        F.expr(
+            "(coalesce(in_cross, 0L) * 1000000)"
+            " div greatest(coalesce(in_edges, 0L), 1L)"
+        ).cast("bigint").alias("in_cross_x1e6"),
+    )
+
+
+SQL_HOST_CONNECTIVITY = """
+WITH edges AS (
+  SELECT DISTINCT event_id % 997 AS src, (event_id * 7 + 13) % 997 AS dst
+  FROM events),
+h AS (SELECT src % 20 AS src_host, dst % 20 AS dst_host FROM edges),
+o AS (SELECT src_host AS host, COUNT(*) AS out_edges,
+             COUNT(*) FILTER (src_host <> dst_host) AS out_cross
+      FROM h GROUP BY 1),
+i AS (SELECT dst_host AS host, COUNT(*) AS in_edges,
+             COUNT(*) FILTER (src_host <> dst_host) AS in_cross
+      FROM h GROUP BY 1)
+SELECT COALESCE(o.host, i.host) AS host,
+       COALESCE(o.out_edges, 0) AS out_edges,
+       COALESCE(i.in_edges, 0) AS in_edges,
+       CAST((COALESCE(o.out_cross, 0) * 1000000)
+            // GREATEST(COALESCE(o.out_edges, 0), 1) AS BIGINT)
+         AS out_cross_x1e6,
+       CAST((COALESCE(i.in_cross, 0) * 1000000)
+            // GREATEST(COALESCE(i.in_edges, 0), 1) AS BIGINT)
+         AS in_cross_x1e6
+FROM o FULL JOIN i ON o.host = i.host
+"""
+
+
 def q_events_markov(spark, sf):
     """Per-user event-type transition matrix (the first-order Markov
     chain under every funnel/session analysis): lag each user's event
@@ -3124,6 +3189,7 @@ RELATIONAL_QUERIES = {
     "url_near_dedup": (q_url_near_dedup, SQL_URL_NEAR_DEDUP),
     "graph_reachability": (q_graph_reachability, SQL_GRAPH_REACHABILITY),
     "events_markov": (q_events_markov, SQL_EVENTS_MARKOV),
+    "host_connectivity": (q_host_connectivity, SQL_HOST_CONNECTIVITY),
     "events_zscore_outliers": (q_events_zscore_outliers, SQL_ZSCORE_OUTLIERS),
     "volume_shipping": (q_volume_shipping, SQL_VOLUME_SHIPPING),
     "promo_effect": (q_promo_effect, SQL_PROMO_EFFECT),
