@@ -26,61 +26,10 @@ from brink_spark.queries.training import TRAINING_QUERIES
 # Every entry, regardless of position, is still checked by the local
 # mirror (tools/check_queries.py) each round.
 _DRIVER_GATE_ORDER = [
-    # --- tier 1: no driver row from any round (registered late in r4) ---
-    "returned_revenue",
-    "waiting_suppliers",
-    "min_cost_supplier",
-    "important_parts",
-    "nation_market_share",
-    "dominant_suppliers",
-    "small_qty_revenue",
-    "late_priority_lines",
-    "discount_forecast",
-    # --- tier 1: new in round 5 (queries/training.py) ---
-    "containment_pairs",
-    "dedup_keep_best",
-    "chunk_first_occurrence",
-    "split_assign",
-    "source_balance",
-    "inverted_index",
-    "embed_kmeans_assign",
-    # --- tier 1: new in round 5 (queries/pipeline.py media join) ---
-    "media_span_join",
-    # --- tier 1: new in round 5 (queries/sketches.py) ---
-    "sketch_heavy_hitters",
-    "sketch_quantile_check",
-    "ann_ivf_kmeans_topk",
-    "ann_pq_adc_topk",
-    "pack_sequences",
-    "recrawl_priority",
-    "url_template_traps",
-    "lang_balanced_sample",
-    "quality_source_prior",
-    "dedup_cdc_chunks",
-    "graph_ppr",
-    "tfidf_cosine_pairs",
-    "basket_lift",
-    "events_mad_outliers",
-    "url_near_dedup",
-    "graph_reachability",
-    "events_markov",
-    "host_connectivity",
-    # --- tier 2: newest green row is r3 (stalest) ---
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "embed_neardup",
-    "ann_bruteforce_topk",
-    "ann_lsh_buckets",
-    "text_quality",
-    "text_langid",
-    "doc_fingerprint",
-    "multimodal_features",
-    "dedup_simhash",
-    "embed_neardup_lsh",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "span_explode",
+    # Regenerated for round 6 against CORRECTNESS_r05 (tools/rotation.py):
+    # no never-green queries remain, so the 50 slots go stalest-first —
+    # the r3-green cohort, then the r4-green cohort in registry order.
+    # --- newest green row is r3 (stalest — re-earn first) ---
     "text_langid_ngram",
     "pipeline_end_to_end",
     "doc_rolling_hash",
@@ -94,11 +43,60 @@ _DRIVER_GATE_ORDER = [
     "repetition_stats",
     "decontaminate",
     "lm_score_bigram",
-    # --- tier 3 (r4-green, code touched in round 5: pagerank cut fix,
-    #     jaccard boundary fix, PSL-lite list trim) ---
+    "dedup_chunks",
+    # --- newest green row is r4 ---
     "graph_pagerank",
     "dedup_jaccard_prefix",
     "url_registrable_domain",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_orders",
+    "order_priority",
+    "customer_order_distribution",
+    "part_supplier_stats",
+    "events_tumbling",
+    "events_sessionize",
+    "events_user_stats",
+    "url_normalize_dedup",
+    "frontier_anti_join",
+    "cached_dispatch",
+    "politeness_topk",
+    "sitemap_seeds",
+    "graph_components",
+    "graph_components_2phase",
+    "graph_hits",
+    "events_session_window",
+    "events_pivot",
+    "events_cube",
+    "graph_triangles",
+    "basket_pairs",
+    "events_zscore_outliers",
+    "volume_shipping",
+    "promo_effect",
+    "top_supplier",
+    "profit_by_nation",
+    "big_orders",
+    "discount_revenue",
+    "sales_opportunity",
+    "supplier_parts_distinct",
+    "top_parts_per_supplier",
+    "revenue_rollup",
+    # --- past the 50-slot gate: r4-green tail, then the r5-green cohort
+    #     (still mirror-checked every round by tools/check_queries.py) ---
+    "events_funnel",
+    "brand_year_trend",
+    "customer_running_total",
+    "value_percentiles",
+    "events_hopping",
+    "events_retention",
+    "supplier_market_share",
+    "dedup_incremental",
+    "multimodal_frame_sample",
+    "source_rollup",
+    "vocab_stats",
+    "pii_scrub",
+    "dedup_clusters_converged",
+    "sketch_distinct_users",
 ]
 
 _MERGED: dict = {

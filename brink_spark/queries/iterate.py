@@ -163,20 +163,30 @@ def min_label_propagate(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("lbl").alias("nb_min"))
         )
-        nxt = cut(
-            labels.join(nb, "node", "left").select(
-                "node",
-                F.least("lbl", F.coalesce("nb_min", "lbl")).alias("lbl"),
-            )
+        # convergence-mode rounds carry a per-row changed flag THROUGH the
+        # checkpoint: the old form re-joined nxt against the previous
+        # labels (a second key shuffle per round) purely to count changes;
+        # the flag is already computable inside the round's own projection,
+        # so the count becomes a scan of the checkpointed blocks — one
+        # shuffle per round instead of two.
+        proj = labels.join(nb, "node", "left").select(
+            "node",
+            F.least("lbl", F.coalesce("nb_min", "lbl")).alias("lbl"),
+            *(
+                []
+                if rounds is not None
+                else [
+                    (
+                        F.least("lbl", F.coalesce("nb_min", "lbl"))
+                        != F.col("lbl")
+                    ).alias("_chg")
+                ]
+            ),
         )
+        nxt = cut(proj)
         if rounds is None:
-            changed = (
-                nxt.alias("n")
-                .join(labels.alias("p"), "node")
-                .filter(F.col("n.lbl") != F.col("p.lbl"))
-                .count()
-            )
-            labels = nxt
+            changed = nxt.filter(F.col("_chg")).count()
+            labels = nxt.drop("_chg")
             if changed == 0:
                 break
         else:

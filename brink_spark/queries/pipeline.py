@@ -25,12 +25,56 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from brink_spark.queries.iterate import min_label_propagate as _min_label_propagate
 
 
+def _scan_row_groups(path: str) -> int | None:
+    """Achievable parquet scan parallelism = total row-group count (a row
+    group is the atomic split unit; maxPartitionBytes/minPartitionNum can
+    only cut BETWEEN row groups). None when unknowable (non-local path)."""
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isfile(path):
+            return pq.ParquetFile(path).metadata.num_row_groups
+        if os.path.isdir(path):
+            return sum(
+                pq.ParquetFile(os.path.join(path, f)).metadata.num_row_groups
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+    except Exception:
+        return None
+    return None
+
+
+def _read_adaptive(spark, path: str) -> DataFrame:
+    """Scan with adaptive parallelism (guide §2.5 synthetic-key note +
+    §6 input-split sizing): the driver testdata tables are written as a
+    SINGLE row group, so the scan is one task no matter the split config —
+    and every downstream explode/md5/HOF/matmul in this module runs
+    single-threaded until the first shuffle (measured: the whole MinHash
+    pipeline on 1 of 32 cores). When the table's achievable split count is
+    below the cluster's default parallelism, redistribute ONCE right after
+    the scan: a few-MB round-robin exchange (columns are pruned through
+    Repartition) that unlocks a 32-way explode/hash stage. The trigger is
+    derived from the INPUT (row groups vs defaultParallelism), not from a
+    local[32]-tuned constant: a 100 TB table has thousands of row groups,
+    the condition is false, and the plan is untouched — no extra shuffle
+    at scale."""
+    df = spark.read.parquet(path)
+    target = spark.sparkContext.defaultParallelism
+    rg = _scan_row_groups(path)
+    if rg is not None and rg < target:
+        df = df.repartition(target)
+    return df
+
+
 def _docs(spark, sf):
-    return spark.read.parquet(f"{sf}/documents.parquet")
+    return _read_adaptive(spark, f"{sf}/documents.parquet")
 
 
 def _emb(spark, sf):
-    return spark.read.parquet(f"{sf}/embeddings.parquet")
+    return _read_adaptive(spark, f"{sf}/embeddings.parquet")
 
 
 # --------------------------------------------------------------------------
@@ -266,32 +310,41 @@ def _lsh_band_sig(sh: DataFrame) -> DataFrame:
     b=4 bands × r=2 rows. The reusable core of q_dedup_minhash_lsh —
     also the WRITE path of the incremental-ingest signature store
     (write_signature_store), so the store and the self-contained query
-    can never drift. One exploded-shingle shuffle feeds all 8
-    permutations; banding reuses the doc_id partitioning."""
-    perms = sh.sparkSession.range(8).select(F.col("id").cast("int").alias("perm"))
-    mins = (
-        sh.crossJoin(F.broadcast(perms))
-        .groupBy("doc_id", "perm")
-        .agg(
+    can never drift.
+
+    One-pass form (guide §2.3, aggregate before you shuffle / shuffle
+    fewer bytes): the 8 permutation minima are 8 MIN aggregates over the
+    SAME shingle rows, so they ride ONE groupBy(doc_id) as 8 aggregation
+    buffers instead of a broadcast-crossJoin that materializes 8× the
+    shingle rows and then needs a second groupBy to band them. Same md5
+    evaluations (8 per shingle), same results (min per perm, band b =
+    concat of perms 2b, 2b+1 — exactly the old even/odd concat), but the
+    exploded-shingle stream is aggregated once and never multiplied; the
+    4 band rows per doc come from a doc-count-sized explode."""
+    mins = sh.groupBy("doc_id").agg(
+        *[
             F.min(
-                F.substring(
-                    F.md5(F.concat(F.col("perm").cast("string"), F.lit("|"), F.col("sh"))),
-                    1,
-                    12,
-                )
-            ).alias("mh")
-        )
+                F.substring(F.md5(F.concat(F.lit(f"{p}|"), F.col("sh"))), 1, 12)
+            ).alias(f"_mh{p}")
+            for p in range(8)
+        ]
     )
-    return (
-        mins.withColumn("band", (F.col("perm") / 2).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.concat(
-                F.max(F.when(F.col("perm") % 2 == 0, F.col("mh"))),
-                F.max(F.when(F.col("perm") % 2 == 1, F.col("mh"))),
-            ).alias("mh")
-        )
-    )
+    return mins.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("int").alias("band"),
+                        F.concat(
+                            F.col(f"_mh{2 * b}"), F.col(f"_mh{2 * b + 1}")
+                        ).alias("mh"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("_bm"),
+    ).select("doc_id", F.col("_bm.band").alias("band"), F.col("_bm.mh").alias("mh"))
 
 
 def q_dedup_minhash_lsh(spark, sf):
@@ -553,18 +606,25 @@ def q_embed_neardup(spark, sf):
     error is nowhere near the 0.45 threshold for any pair."""
     import numpy as np
 
-    e = _emb(spark, sf)
+    # guard + broadcast-matrix build read the RAW scan (no repartition —
+    # a single-task read is exactly right for a driver-bound collect);
+    # the distributed row-block side below uses the parallel reader
+    raw = spark.read.parquet(f"{sf}/embeddings.parquet")
     # fail-fast guard: LIMIT cap+1 keeps the probe O(cap), not a full count
-    if e.limit(EMBED_NEARDUP_MAX_ROWS + 1).count() > EMBED_NEARDUP_MAX_ROWS:
+    if raw.limit(EMBED_NEARDUP_MAX_ROWS + 1).count() > EMBED_NEARDUP_MAX_ROWS:
         raise ValueError(
             f"q_embed_neardup collects the embedding table to the driver and "
             f"is capped at {EMBED_NEARDUP_MAX_ROWS} rows; use "
             f"q_embed_neardup_lsh (the distributed LSH path) at this scale"
         )
-    rows = e.select("vec_id", "embedding").collect()  # driver: only to build
-    # the broadcast matrix (2.5 MB at 5k×64); the scan side stays distributed
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    e = _emb(spark, sf)
+    # driver transfer via Arrow (guide §6: toPandas with
+    # arrow.pyspark.enabled is orders of magnitude faster than the
+    # pickled-Row collect path — measured 12 s → <1 s for 20k×64 floats);
+    # only to build the broadcast matrix, the scan side stays distributed
+    pdf_all = raw.select("vec_id", "embedding").toPandas()
+    ids = pdf_all["vec_id"].to_numpy(dtype=np.int64)
+    mat = np.array(list(pdf_all["embedding"]), dtype=np.float64)
     nrm = np.sqrt((mat * mat).sum(axis=1))
     sc = spark.sparkContext
     b_ids = sc.broadcast(ids)
@@ -579,7 +639,12 @@ def q_embed_neardup(spark, sf):
             A = np.array(list(pdf["embedding"]), dtype=np.float64)
             An = np.sqrt((A * A).sum(axis=1))
             Ai = pdf["vec_id"].to_numpy()
-            cos = (A @ B.T) / np.outer(An, Bn)
+            # same arithmetic as before (one divide by the norm PRODUCT —
+            # bit-identical to the oracle's dot/(na*nb)), but in place:
+            # the old `(A @ B.T) / np.outer(...)` held three block-sized
+            # matrices live per task, this holds two
+            cos = A @ B.T
+            cos /= An[:, None] * Bn[None, :]
             ii, jj = np.where(cos >= 0.45)
             keep = Ai[ii] < Bi[jj]
             yield pd.DataFrame(
@@ -2094,22 +2159,21 @@ def q_tfidf_cosine_pairs(spark, sf):
             F.expr("tf * ((n_total * 1000) div df)")
             .cast("bigint")
             .alias("w"),
+            "df",
+            "n_total",
         )
     )
     norms = weighted.groupBy("doc_id").agg(
         F.sum(F.expr("w * w")).alias("norm2")
     )
-    hot = (
-        tf.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .join(F.broadcast(ndocs))
-        .filter(
-            F.col("_df")
-            > F.greatest(F.lit(SHINGLE_DF_CAP), F.expr("n_total div 20"))
-        )
-        .select("term")
-    )
-    capped = weighted.join(F.broadcast(hot), "term", "left_anti")
+    # the df-cap is a FILTER on the df column the weighting already joined
+    # in: the old form recomputed per-term document frequency from scratch
+    # (a second full aggregation over tf) and broadcast-anti-joined the hot
+    # set back — the predicate is identical, the two extra passes are not
+    capped = weighted.filter(
+        F.col("df")
+        <= F.greatest(F.lit(SHINGLE_DF_CAP), F.expr("n_total div 20"))
+    ).select("doc_id", "term", "w")
     a, b = capped.alias("a"), capped.alias("b")
     pairs = (
         a.join(b, "term")

@@ -1000,15 +1000,94 @@ def q_graph_triangles(spark, sf):
     return triangle_counts(und)
 
 
+# q_graph_triangles' dense-universe fast path fires when the max node id
+# fits a <=4096-word (32 KiB/row) bitmap; past that the degree-ordered
+# generic kernel takes over. 2^18 bits covers the modulus-bounded event
+# graph (ids < 997 by construction) with 3 orders of magnitude of slack.
+TRIANGLE_BITSET_MAX_ID = 1 << 18
+
+
 def triangle_counts(und: DataFrame) -> DataFrame:
-    """Degree-ordered triangle kernel over a canonical undirected edge set
-    (columns x < y, deduplicated). Returns (node, n_triangles). Shared by
-    q_graph_triangles and the brute-force property tests
-    (tests/test_graph_kernels.py)."""
-    # cut: und feeds deg (twice) + the orientation join — without the cut
-    # Catalyst inlines the upstream plan into every consumer and the
-    # source scan multiplies (observed: 64 exchanges; with cuts: ~6)
+    """Triangle participation per node over a canonical undirected edge
+    set (columns x < y, deduplicated). Returns (node, n_triangles).
+    Shared by q_graph_triangles and the brute-force property tests
+    (tests/test_graph_kernels.py).
+
+    Adaptive kernel choice, derived from the INPUT (one max() aggregate),
+    not from a size constant: when the node-id universe is compact
+    (max id < TRIANGLE_BITSET_MAX_ID — true by construction for the
+    modulus-synthesized event graph, whose ids are < 997 at ANY events
+    size incl. 100 TB), per-node adjacency fits a dense ≤32 KiB bitmap
+    and the per-edge common-neighbor count is a handful of AND+popcount
+    words — ~50 machine ops per edge versus ~2·avg-degree hash probes,
+    and no per-triangle row is ever materialized (82M triangles at sf1
+    stay inside a SUM). Otherwise the degree-ordered wedge kernel below
+    (O(√m) out-degree cap, join-based) handles arbitrary id spaces."""
     und = _cut(und)
+    mx = und.agg(F.max(F.greatest("x", "y")).alias("m")).collect()[0]["m"]
+    if mx is not None and mx < TRIANGLE_BITSET_MAX_ID:
+        return _triangle_counts_bitset(und, int(mx))
+    return _triangle_counts_ordered(und)
+
+
+def _triangle_counts_bitset(und: DataFrame, max_id: int) -> DataFrame:
+    """Dense-bitset edge-iterator: participation(n) = ½ Σ_{m∈N(n)}
+    |N(n) ∩ N(m)| — every triangle contributes exactly 2 to each of its
+    corners across that sum (once per incident edge), so per-node counts
+    need only the per-EDGE intersection size, never the triangle list.
+    Adjacency bitmaps are built with two partial-agg groupBys (bit_or per
+    64-bit word, then word map → fixed array); the per-edge count is
+    zip_with + bit_count + sum — all codegen builtins, no explode of
+    per-triangle rows, shuffles bounded by m + n rows."""
+    W = max_id // 64 + 1
+    both = und.select(F.col("x").alias("node"), F.col("y").alias("nbr")).union(
+        und.select(F.col("y").alias("node"), F.col("x").alias("nbr"))
+    )
+    words = both.groupBy(
+        "node", F.expr("nbr div 64").alias("w")
+    ).agg(F.expr("bit_or(shiftleft(1L, cast(nbr % 64 as int)))").alias("m"))
+    adj = (
+        words.groupBy("node")
+        .agg(F.map_from_entries(F.collect_list(F.struct("w", "m"))).alias("wm"))
+        .select(
+            "node",
+            F.expr(
+                f"transform(sequence(0L, {W - 1}L), i -> coalesce(wm[i], 0L))"
+            ).alias("bits"),
+        )
+    )
+    e = (
+        und.join(
+            adj.select(F.col("node").alias("x"), F.col("bits").alias("bx")), "x"
+        )
+        .join(
+            adj.select(F.col("node").alias("y"), F.col("bits").alias("by")), "y"
+        )
+        .select(
+            "x",
+            "y",
+            F.expr(
+                "aggregate(zip_with(bx, by, (p, q) -> bit_count(p & q)),"
+                " 0L, (acc, v) -> acc + v)"
+            ).alias("c"),
+        )
+        .where(F.col("c") > 0)
+    )
+    contrib = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("x").alias("node"), F.col("c").alias("c")),
+                F.struct(F.col("y").alias("node"), F.col("c").alias("c")),
+            )
+        ).alias("t")
+    ).select(F.col("t.node").alias("node"), F.col("t.c").alias("c"))
+    return contrib.groupBy("node").agg(
+        F.expr("sum(c) div 2").cast("bigint").alias("n_triangles")
+    )
+
+
+def _triangle_counts_ordered(und: DataFrame) -> DataFrame:
+    """Degree-ordered kernel for arbitrary (sparse, huge-id) graphs."""
     deg = (
         und.select(F.col("x").alias("node"))
         .union(und.select(F.col("y").alias("node")))
@@ -1028,23 +1107,48 @@ def triangle_counts(und: DataFrame) -> DataFrame:
             F.when(lower_first, F.col("y")).otherwise(F.col("x")).alias("v"),
         )
     )
-    e1 = oriented
-    e2 = oriented.select(F.col("u").alias("v"), F.col("v").alias("w"))
-    wedges = e1.join(e2, "v").where(F.col("u") != F.col("w"))
-    # close the wedge: the (u,w) edge may be oriented either way
-    closer = oriented.select(
-        F.least("u", "v").alias("p"), F.greatest("u", "v").alias("q")
+    # Edge-iterator closure with adjacency lists (the join-free form of
+    # the same degree-ordered kernel): (deg, id) orientation is a TOTAL
+    # order, so every triangle u < v < w appears exactly once as the edge
+    # (u, v) plus a common out-neighbor w ∈ N⁺(u) ∩ N⁺(v). Materializing
+    # the wedge set as a join (e1 ⋈ e2 on the middle vertex, then a
+    # closing join) shuffles O(Σ indeg·outdeg) wedge ROWS — ~200M at the
+    # bench's dense 1.2k-node graph — where the adjacency form does the
+    # identical O(m·√m) membership work INSIDE each edge row via
+    # array_intersect (JVM codegen, no wedge materialization): the only
+    # shuffles left are the two edge⋈adjacency equi-joins, each bounded
+    # by m + n rows. Adjacency rows are bounded by the orientation's
+    # O(√m) out-degree cap, so collect_list never builds a hub-sized
+    # array (~10⁵ ints/row at 100 TB — a bounded row, not a hot key).
+    adj = oriented.groupBy("u").agg(F.collect_list("v").alias("nbrs"))
+    closed = (
+        oriented.join(adj.withColumnRenamed("nbrs", "nu"), "u")
+        .join(
+            adj.select(F.col("u").alias("v"), F.col("nbrs").alias("nv")), "v"
+        )
+        .select("u", "v", F.array_intersect("nu", "nv").alias("ws"))
+        .where(F.size("ws") > 0)
     )
-    tri = wedges.join(
-        closer,
-        (F.least("u", "w") == F.col("p")) & (F.greatest("u", "w") == F.col("q")),
-    ).select("u", "v", "w")
+    # per-node participation in one pass, no triangle-row materialization:
+    # the edge endpoints u, v each gain |ws| triangles; every top vertex
+    # w ∈ ws gains one. Both streams partial-aggregate to node grain
+    # inside the closure stage before any exchange.
+    corners = closed.select(
+        F.explode(
+            F.concat(
+                F.array(
+                    F.struct(F.col("u").alias("node"), F.size("ws").alias("c")),
+                    F.struct(F.col("v").alias("node"), F.size("ws").alias("c")),
+                ),
+                F.transform(
+                    "ws", lambda w: F.struct(w.alias("node"), F.lit(1).alias("c"))
+                ),
+            )
+        ).alias("t")
+    )
     return (
-        tri.select(F.col("u").alias("node"))
-        .union(tri.select(F.col("v").alias("node")))
-        .union(tri.select(F.col("w").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        corners.groupBy(F.col("t.node").alias("node"))
+        .agg(F.sum("t.c").cast("bigint").alias("n_triangles"))
     )
 
 

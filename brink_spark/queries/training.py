@@ -525,9 +525,23 @@ PACK_PARTS = 16
 
 def _pack_spans(spark, sf, parts):
     """(doc_id, tok_start, cum_end): global token span per doc under the
-    md5(doc_id) concatenation order, via the two-phase prefix sum."""
-    if not 1 <= parts <= 256:
-        raise ValueError(f"parts must be in [1, 256] (one md5 byte), got {parts}")
+    md5(doc_id) concatenation order, via the two-phase prefix sum.
+
+    Bucket id from the first TWO md5 bytes (65,536 range buckets max):
+    still monotone in the order key (a bucket is a prefix range of h, so
+    bucket order == global order) and uniform, but the per-bucket sort
+    window can now scale past 256 tasks — the straggler ceiling the
+    one-byte form had at 100 TB. The packed spans are invariant to the
+    bucketing by construction (range buckets + exact offsets; pinned
+    across parts values by tests/test_training_queries.py), and for the
+    shipped parts=16 the two-byte boundaries coincide exactly with the
+    old one-byte ones (b0*16 is a multiple of 16 mod 256, so the low
+    byte can never push (256*r + b1*16) past 65,536). The driver-side
+    offset table stays KB-scale even at 65,536 rows."""
+    if not 1 <= parts <= 65536:
+        raise ValueError(
+            f"parts must be in [1, 65536] (two md5 bytes), got {parts}"
+        )
     d = _docs(spark, sf).select(
         "doc_id",
         F.md5(F.col("doc_id").cast("string")).alias("h"),
@@ -535,7 +549,7 @@ def _pack_spans(spark, sf, parts):
     )
     p = d.withColumn(
         "pid",
-        F.expr(f"int((conv(substring(h, 1, 2), 16, 10) * {parts}) div 256)"),
+        F.expr(f"int((conv(substring(h, 1, 4), 16, 10) * {parts}) div 65536)"),
     )
     totals = {
         r["pid"]: r["tot"]

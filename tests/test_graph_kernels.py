@@ -30,21 +30,46 @@ def _brute_triangles(edges):
     return counts
 
 
-def _spark_triangles(spark, edges):
+def _spark_triangles(spark, edges, kernel=None):
     """The exact production kernel (shared with q_graph_triangles),
-    applied to an explicit edge list."""
-    from brink_spark.queries.relational import triangle_counts
+    applied to an explicit edge list. kernel=None exercises the adaptive
+    dispatcher; 'bitset'/'ordered' pin a specific path."""
+    from brink_spark.queries.relational import (
+        _triangle_counts_bitset,
+        _triangle_counts_ordered,
+        triangle_counts,
+    )
+    from brink_spark.queries.iterate import cut
 
     und = spark.createDataFrame(edges, ["x", "y"])
-    return {
-        r["node"]: r["n_triangles"] for r in triangle_counts(und).collect()
-    }
+    if kernel == "bitset":
+        out = _triangle_counts_bitset(
+            cut(und), max(max(x, y) for x, y in edges)
+        )
+    elif kernel == "ordered":
+        out = _triangle_counts_ordered(cut(und))
+    else:
+        out = triangle_counts(und)
+    return {r["node"]: r["n_triangles"] for r in out.collect()}
 
 
 def test_triangles_match_bruteforce_random_graphs(spark):
     for seed, n_nodes, n_edges in ((7, 18, 40), (11, 25, 80), (13, 12, 30)):
         edges = _random_edges(seed, n_nodes, n_edges)
         assert _spark_triangles(spark, edges) == _brute_triangles(edges), seed
+
+
+def test_triangles_both_kernels_agree_with_bruteforce(spark):
+    """The adaptive dispatcher (triangle_counts) picks the dense-bitset
+    kernel for compact id spaces and the degree-ordered join kernel past
+    TRIANGLE_BITSET_MAX_ID; both must match brute force on the same
+    graphs — incl. ids spanning >64-bit-word boundaries (node 100 → word
+    1) so the multi-word bitmap path is really exercised."""
+    for seed, n_nodes, n_edges in ((7, 18, 40), (29, 150, 400)):
+        edges = _random_edges(seed, n_nodes, n_edges)
+        want = _brute_triangles(edges)
+        assert _spark_triangles(spark, edges, kernel="bitset") == want, seed
+        assert _spark_triangles(spark, edges, kernel="ordered") == want, seed
 
 
 def test_triangles_star_graph_has_none(spark):
