@@ -74,7 +74,13 @@ def _docs(spark, sf):
 
 
 def _emb(spark, sf):
-    return _read_adaptive(spark, f"{sf}/embeddings.parquet")
+    # plain scan, deliberately NOT adaptive-repartitioned: every _emb
+    # consumer is a light per-row projection (sign-bit buckets, norm
+    # HOFs) over a vector-count-sized table feeding an immediate
+    # shuffle/join — measured +0.3-0.7 s per ann_* query from the forced
+    # exchange against no downstream win (the one heavy consumer,
+    # q_embed_neardup's matmul, builds its own block layout)
+    return spark.read.parquet(f"{sf}/embeddings.parquet")
 
 
 # --------------------------------------------------------------------------
@@ -105,13 +111,22 @@ FROM documents GROUP BY 1
 def _shingles_of(docs: DataFrame) -> DataFrame:
     d = docs.select("doc_id", F.split("text", " ").alias("w"))
     d = d.filter(F.size("w") >= 3)
+    # three element_at lookups per 3-gram instead of slice(): slice
+    # allocates a fresh 3-element array per position purely to feed
+    # concat_ws — dropping it halved the explode stage (measured 1.48 s
+    # → 0.68 s at sf1). Same strings: concat_ws(' ', w[i..i+2]) either way.
     return d.select(
         "doc_id",
         F.explode(
             F.array_distinct(
                 F.transform(
                     F.sequence(F.lit(1), F.size("w") - 2),
-                    lambda i: F.concat_ws(" ", F.slice("w", i, 3)),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("w", i),
+                        F.element_at("w", i + 1),
+                        F.element_at("w", i + 2),
+                    ),
                 )
             )
         ).alias("sh"),
@@ -164,7 +179,18 @@ def _drop_hot_keys(df: DataFrame, keys: list[str], cap: int) -> DataFrame:
 
 
 def _capped_shingles(spark, sf) -> DataFrame:
-    return _drop_hot_keys(_shingles(spark, sf), ["sh"], SHINGLE_DF_CAP)
+    """Df-capped shingles, MATERIALIZED once (lineage cut): every consumer
+    (ngram_jaccard, jaccard_prefix, containment) references this stream
+    3-4 times — sizes, both self-join sides, verification — and without
+    the cut Catalyst re-derives the whole explode + df-count + anti-join
+    pipeline per reference (exchange reuse recovers only identical
+    subtrees). Materialize-once-reuse-many is the same tradeoff the crawl
+    wave loop and the label-propagation rounds already make
+    (brink_spark/queries/iterate.py docstring); results are unaffected —
+    checkpointing changes when a plan runs, never what it computes."""
+    from brink_spark.queries.iterate import cut as _cut
+
+    return _cut(_drop_hot_keys(_shingles(spark, sf), ["sh"], SHINGLE_DF_CAP))
 
 
 _SQL_CAPPED_SHINGLES = f"""
@@ -617,7 +643,13 @@ def q_embed_neardup(spark, sf):
             f"is capped at {EMBED_NEARDUP_MAX_ROWS} rows; use "
             f"q_embed_neardup_lsh (the distributed LSH path) at this scale"
         )
-    e = _emb(spark, sf)
+    # row-block side: a FEW large blocks, not one per core — each block's
+    # matmul is BLAS-batched (guide §4.2: keep batches large), so 8 blocks
+    # already saturate the arithmetic while cutting the Python-worker
+    # count the stage must fork when the 1-minute idle cull has emptied
+    # the pool (worker creation is serialized in the JVM factory; see
+    # brink_spark/pydaemon.py). Derived from defaultParallelism, capped.
+    e = raw.repartition(min(8, spark.sparkContext.defaultParallelism))
     # driver transfer via Arrow (guide §6: toPandas with
     # arrow.pyspark.enabled is orders of magnitude faster than the
     # pickled-Row collect path — measured 12 s → <1 s for 20k×64 floats);
@@ -2457,7 +2489,9 @@ def q_decontaminate(spark, sf):
             F.explode(
                 F.expr(
                     f"transform(sequence(0, size(w) - {DECON_NGRAM}),"
-                    f" i -> concat_ws(' ', slice(w, i + 1, {DECON_NGRAM})))"
+                    " i -> concat_ws(' ', "
+                    + ", ".join(f"w[i + {k}]" for k in range(DECON_NGRAM))
+                    + "))"
                 )
             ).alias("gram"),
         )
@@ -2575,8 +2609,11 @@ def q_dedup_chunks(spark, sf):
             F.explode(
                 F.expr(
                     f"transform(sequence(0, (size(w) div {CHUNK_WORDS}) - 1),"
-                    f" i -> concat_ws(' ', slice(w, i * {CHUNK_WORDS} + 1,"
-                    f" {CHUNK_WORDS})))"
+                    " i -> concat_ws(' ', "
+                    + ", ".join(
+                        f"w[i * {CHUNK_WORDS} + {k}]" for k in range(CHUNK_WORDS)
+                    )
+                    + "))"
                 )
             ).alias("chunk"),
         )
@@ -2639,30 +2676,33 @@ def q_dedup_cdc_chunks(spark, sf):
     Boundary test is md5-nibble arithmetic (engine-identical), not
     xxhash64 (absent in DuckDB)."""
     d = _docs(spark, sf).withColumn("w", F.split("text", " "))
-    tok = d.select("doc_id", F.posexplode("w").alias("pos", "tok"))
-    bd = tok.withColumn(
-        "bd",
-        F.when(
-            F.substring(F.md5("tok"), 1, 1).isin("0", "1"), F.lit(1)
-        ).otherwise(F.lit(0)),
+    # chunks assembled IN-ROW by a single aggregate() pass over the token
+    # array: a boundary token (md5 leading nibble 0/1 — same test as
+    # before) closes the running chunk. The old form posexploded every
+    # token (10M rows at sf1) through a per-doc running-sum window and a
+    # collect_list+sort re-assembly — three shuffled/sorted stages whose
+    # only output was exactly these per-doc chunk strings, which are a
+    # row-local function of the document. NULL (not '') marks "no tokens
+    # yet" so empty tokens from repeated spaces still concatenate
+    # identically to the windowed string_agg.
+    _cdc_chunks = (
+        "aggregate(w,"
+        " named_struct('chs', cast(array() as array<string>),"
+        "              'cur', cast(null as string)),"
+        " (acc, t) -> CASE WHEN substring(md5(t), 1, 1) IN ('0', '1')"
+        "   THEN named_struct("
+        "     'chs', array_append(acc.chs,"
+        "        CASE WHEN acc.cur IS NULL THEN t"
+        "             ELSE concat(acc.cur, ' ', t) END),"
+        "     'cur', cast(null as string))"
+        "   ELSE named_struct("
+        "     'chs', acc.chs,"
+        "     'cur', CASE WHEN acc.cur IS NULL THEN t"
+        "                 ELSE concat(acc.cur, ' ', t) END) END,"
+        " acc -> CASE WHEN acc.cur IS NULL THEN acc.chs"
+        "             ELSE array_append(acc.chs, acc.cur) END)"
     )
-    wdoc = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cid = bd.withColumn(
-        "chunk_id", F.coalesce(F.sum("bd").over(wdoc), F.lit(0))
-    )
-    ch = cid.groupBy("doc_id", "chunk_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s["tok"],
-            ),
-            " ",
-        ).alias("chunk")
-    )
+    ch = d.select("doc_id", F.explode(F.expr(_cdc_chunks)).alias("chunk"))
     cdf = ch.groupBy("chunk").agg(F.countDistinct("doc_id").alias("n_docs"))
     return (
         ch.join(cdf, "chunk")

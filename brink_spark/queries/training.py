@@ -222,8 +222,11 @@ def q_chunk_first_occurrence(spark, sf):
             F.explode(
                 F.expr(
                     f"transform(sequence(0, (size(w) div {CHUNK_WORDS}) - 1),"
-                    f" i -> concat_ws(' ', slice(w, i * {CHUNK_WORDS} + 1,"
-                    f" {CHUNK_WORDS})))"
+                    " i -> concat_ws(' ', "
+                    + ", ".join(
+                        f"w[i * {CHUNK_WORDS} + {k}]" for k in range(CHUNK_WORDS)
+                    )
+                    + "))"
                 )
             ).alias("chunk"),
         )

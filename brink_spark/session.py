@@ -52,6 +52,26 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
     )
+    if master != "inherit":
+        # In-process local masters: Python workers fork from
+        # brink_spark.pydaemon, which preloads numpy/pandas/pyarrow so
+        # copy-on-write forks skip the per-worker import storm after the
+        # JVM's hardcoded 1-minute idle-worker cull (see pydaemon
+        # docstring; measured 42.5 s → 10-16 s cold start for 32
+        # workers). The daemon launcher resolves modules from the worker
+        # python's base PYTHONPATH — NOT from --py-files — so the package
+        # directory is passed explicitly, and the whole preload is
+        # skipped for master="inherit" (cluster deploys add the package
+        # to the workers' PYTHONPATH and set these two configs
+        # themselves if they want the preload).
+        pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        worker_pp = os.environ.get("PYTHONPATH", "")
+        builder = builder.config(
+            "spark.python.daemon.module", "brink_spark.pydaemon"
+        ).config(
+            "spark.executorEnv.PYTHONPATH",
+            f"{pkg_parent}{os.pathsep}{worker_pp}" if worker_pp else pkg_parent,
+        )
     evlog = os.environ.get("SPARK_GRAFT_EVENTLOG")
     if evlog:
         os.makedirs(evlog, exist_ok=True)
