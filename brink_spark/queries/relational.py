@@ -862,15 +862,26 @@ def q_events_session_window(spark, sf):
     per-user session stats. Boundary rule: session end = last event +
     gap, intervals half-open — an event exactly `gap` after the last one
     STARTS A NEW SESSION (diff >= 1800), which is what the lag-gap
-    oracle states with >=. (The sibling `events_sessionize` pins the
-    hand-rolled lag+cumsum form with a > boundary; testdata has no
-    exact-1800 gaps, but the rules are documented separately on
-    purpose.) One shuffle on user_id; session merge is map-side within
-    the aggregation — the same plan shape Structured Streaming runs
+    oracle states with >=. Two boundary facts align Spark with that
+    oracle EXACTLY (round-6 fix of an inherited sf0.1-only divergence —
+    the round-5 tree fails the same row; the sf0.01 driver gate never
+    hit a boundary case):
+    1. the oracle's gap arithmetic is over FLOORED epoch seconds, so the
+       session operator gets second-TRUNCATED timestamps (an exact diff
+       of 1799.34 s can floor to 1800 — observed at sf0.1, user 511);
+    2. Spark's session_window MERGES an event exactly `gap` after the
+       previous one (splits only on diff > gap — verified empirically),
+       while the oracle splits at >= 1800; on integer-second inputs
+       `> 1799` ≡ `>= 1800`, so the gap is 1799 seconds.
+    One shuffle on user_id; session merge is map-side within the
+    aggregation — the same plan shape Structured Streaming runs
     incrementally."""
     e = _t(spark, sf, "events")
     per_session = e.groupBy(
-        "user_id", F.session_window("ts", "30 minutes").alias("w")
+        "user_id",
+        F.session_window(
+            F.date_trunc("second", F.col("ts")), "1799 seconds"
+        ).alias("w"),
     ).agg(F.count(F.lit(1)).alias("n_ev"))
     return per_session.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_sessions"),

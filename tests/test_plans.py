@@ -270,18 +270,21 @@ def test_hits_reads_one_column_no_cartesian(spark):
 
 
 def test_triangles_degree_ordered_no_blowup(spark):
-    """graph_triangles: degree-ordered orientation + lineage cuts must
-    leave a hash-join-only plan (no cartesian/nested-loop) whose final
-    stage is a single exchange — the cut blocks (und, oriented) are
-    materialized once, not inlined into every consumer."""
+    """graph_triangles: the kernel (dense-bitset path at testdata's
+    compact id space) must stay a hash-join-only plan (no cartesian /
+    nested-loop) over the ONE materialized edge block — the cut blocks
+    are LogicalRDD scans, never re-derived from the events scan (without
+    the cuts Catalyst multiplies the source scan: observed 64 exchanges).
+    The bitset kernel's exchanges are each bounded by n + m rows
+    (word-mask agg, adjacency agg, two edge⋈adjacency joins, final
+    per-node agg) — a fixed small count, pinned here."""
     from brink_spark.queries.relational import q_graph_triangles
 
     plan = _codegen(q_graph_triangles(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # without the cuts Catalyst multiplies the events scan (observed: 64
-    # exchanges); with them the tail of the plan is one aggregation shuffle
-    assert plan.count("Exchange hashpartitioning") <= 3
+    assert plan.count("Scan parquet") == 0  # runs from the cut edge block
+    assert plan.count("Exchange hashpartitioning") <= 6
 
 
 def test_basket_pairs_copartitioned_self_join(spark):
