@@ -1199,34 +1199,15 @@ def q_basket_pairs(spark, sf):
     corpus would cap baskets explicitly the way SHINGLE_DF_CAP does in
     the dedup suite). The a<b predicate halves the pairs and canonicals
     the key so support counts need no post-merge."""
-    # basket pairs via ONE shuffle: collect_set per order (== the
-    # DISTINCT the oracle states) and generate the a<b combinations
-    # IN-ROW — TPC-H baskets cap at 7 lineitems, so a row emits ≤21
-    # pairs. The previous self-join shuffled the 6M-row distinct stream
-    # twice more (both join sides) to materialize the same pairs.
-    pairs = _basket_pair_stream(_t(spark, sf, "lineitem"))
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.withColumnRenamed("l_partkey", "part_a")
+    b = li.withColumnRenamed("l_partkey", "part_b")
+    pairs = a.join(b, "l_orderkey").where(F.col("part_a") < F.col("part_b"))
     return (
         pairs.groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("support"))
         .where(F.col("support") >= 2)
     )
-
-
-def _basket_pair_stream(li: DataFrame) -> DataFrame:
-    """(part_a < part_b) co-order pair instances, one row per pair per
-    order, from a single groupBy(l_orderkey).collect_set shuffle."""
-    sets = li.groupBy("l_orderkey").agg(
-        F.collect_set("l_partkey").alias("ps")
-    )
-    return sets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ps, x ->"
-                " transform(filter(ps, y -> x < y),"
-                " y -> struct(x AS part_a, y AS part_b))))"
-            )
-        ).alias("p")
-    ).select(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
 
 
 SQL_BASKET_PAIRS = """
@@ -1589,36 +1570,16 @@ def q_basket_lift(spark, sf):
     co-partitioned pair join from q_basket_pairs, one partial-agg per-item
     support rollup joined back (item-support side is item-cardinality —
     AQE broadcasts it at dim size), and a 1-row order-count scalar."""
-    # every input to the lift arithmetic derives from ONE
-    # groupBy(l_orderkey).collect_set shuffle, materialized once and
-    # reused three ways (pair instances in-row — basket ≤ 7 so ≤ 21
-    # pairs/row; per-item supports via a basket explode; the 1-row order
-    # count): the previous form re-aggregated the 6M-row distinct stream
-    # separately for each and self-joined it for the pairs
-    sets = _cut(
-        _t(spark, sf, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(F.collect_set("l_partkey").alias("ps"))
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n_orders = li.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
     )
-    n_orders = sets.agg(F.count(F.lit(1)).alias("n_orders"))
-    item = (
-        sets.select(F.explode("ps").alias("l_partkey"))
-        .groupBy("l_partkey")
-        .agg(F.count(F.lit(1)).alias("s_item"))
-    )
+    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s_item"))
+    a = li.withColumnRenamed("l_partkey", "part_a")
+    b = li.withColumnRenamed("l_partkey", "part_b")
     pairs = (
-        sets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ps, x ->"
-                    " transform(filter(ps, y -> x < y),"
-                    " y -> struct(x AS part_a, y AS part_b))))"
-                )
-            ).alias("p")
-        )
-        .select(
-            F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b")
-        )
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("s_ab"))
         .where(F.col("s_ab") >= 2)
