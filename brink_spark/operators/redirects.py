@@ -105,6 +105,15 @@ def collapse_redirect_chains(
     for part in done_parts[1:]:
         mapping = mapping.unionByName(part)
 
+    # coalesce before pinning: ``mapping`` is a union of up to max_hops
+    # join outputs, each carrying a full set of shuffle partitions, so the
+    # raw override relation arrives massively over-partitioned for its row
+    # count (measured: 320 near-empty partitions for a 147-row override
+    # set — and every wave's fetch join re-scanned all of them). The
+    # redirect subset is never larger than its source, so the source's own
+    # partition count is a size-appropriate ceiling at any scale; coalesce
+    # merges without a shuffle.
+    n_src = max(1, pages_slim.rdd.getNumPartitions())
     overrides = (
         mapping.join(
             base.select(F.col("url_norm").alias("fk"), *payload_cols),
@@ -112,6 +121,7 @@ def collapse_redirect_chains(
             "left",
         )
         .select(F.col("src").alias("url_norm"), *payload_cols)
+        .coalesce(n_src)
         .localCheckpoint(eager=True)  # tiny; reused by every wave's fetch join
     )
     return base.unionByName(overrides)

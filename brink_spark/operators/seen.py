@@ -166,6 +166,51 @@ class BloomSeenSet:
         )
 
 
+def mark_seen(
+    edges: DataFrame,
+    visited: DataFrame | None,
+    bloom: BloomSeenSet | None = None,
+    bloom_shards: DataFrame | None = None,
+) -> DataFrame:
+    """E1/H1/H2 as ONE DataFrame: every edge row tagged with the visited
+    ``status`` (null = fresh, non-null = cached with that stored status).
+
+    The single-table form exists so the wave loop can materialize the
+    normalized/seen-tagged edges ONCE (localCheckpoint) before fanning out
+    into the fresh/cached/units/politeness branches — the wave plan
+    references this split from five subtrees, and without the cut each
+    branch re-runs the frontier scan, the normalize UDF and the visited
+    join (Spark physical plans are trees; only identical exchanges dedupe).
+
+    With a Bloom filter, definite negatives skip the exact join entirely —
+    at web scale the overwhelming majority of frontier URLs each wave —
+    and only maybe-seen URLs reach it. Correctness is unconditional: a
+    false positive just pays the join; false negatives cannot occur.
+    """
+    if visited is None:
+        return edges.withColumn("status", F.lit(None).cast("int"))
+
+    def _hit(maybe_seen: DataFrame) -> DataFrame:
+        return maybe_seen.join(
+            visited.select("url_norm", "status"), "url_norm", "left"
+        )
+
+    if bloom is None or bloom_shards is None:
+        return _hit(edges)
+
+    verdicts = bloom.probe(edges, bloom_shards)
+    edges_flagged = edges.join(verdicts, "url_norm", "left")
+    negatives = (
+        edges_flagged.filter(~F.coalesce("maybe_seen", F.lit(False)))
+        .drop("maybe_seen")
+        .withColumn("status", F.lit(None).cast("int"))
+    )
+    positives = edges_flagged.filter(F.coalesce("maybe_seen", F.lit(False))).drop(
+        "maybe_seen"
+    )
+    return negatives.unionByName(_hit(positives))
+
+
 def split_seen(
     edges: DataFrame,
     visited: DataFrame | None,
@@ -177,39 +222,15 @@ def split_seen(
     fresh  = edges whose url_norm is NOT in visited  (anti join, H1)
     cached = edges ⋈ visited with the stored status   (inner join, H2)
 
-    With a Bloom filter, definite negatives skip the exact join entirely —
-    at web scale the overwhelming majority of frontier URLs each wave —
-    and only maybe-seen URLs reach it. Correctness is unconditional: a
-    false positive just pays the join; false negatives cannot occur.
-
     Both halves come from ONE left join against ``visited`` (null status →
     fresh, non-null → cached) instead of an anti + inner pair: ``visited``
     (the table that grows without bound at web scale — the expensive side)
     is scanned and shuffled once per wave, not twice, and the downstream
-    fresh∪cached union reuses a single exchange.
+    fresh∪cached union reuses a single exchange. See ``mark_seen`` for the
+    single-table form (and the Bloom fast-path semantics shared by both).
     """
-    if visited is None:
-        return edges, edges.limit(0).withColumn("status", F.lit(0).cast("int"))
-
-    def _split(maybe_seen: DataFrame) -> tuple[DataFrame, DataFrame]:
-        hit = maybe_seen.join(
-            visited.select("url_norm", "status"), "url_norm", "left"
-        )
-        return (
-            hit.filter(F.col("status").isNull()).drop("status"),
-            hit.filter(F.col("status").isNotNull()),
-        )
-
-    if bloom is None or bloom_shards is None:
-        return _split(edges)
-
-    verdicts = bloom.probe(edges, bloom_shards)
-    edges_flagged = edges.join(verdicts, "url_norm", "left")
-    negatives = edges_flagged.filter(~F.coalesce("maybe_seen", F.lit(False))).drop(
-        "maybe_seen"
+    marked = mark_seen(edges, visited, bloom, bloom_shards)
+    return (
+        marked.filter(F.col("status").isNull()).drop("status"),
+        marked.filter(F.col("status").isNotNull()),
     )
-    positives = edges_flagged.filter(F.coalesce("maybe_seen", F.lit(False))).drop(
-        "maybe_seen"
-    )
-    anti, cached = _split(positives)
-    return negatives.unionByName(anti), cached

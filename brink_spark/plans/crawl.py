@@ -57,7 +57,7 @@ from brink_spark.operators.filters import (
 )
 from brink_spark.operators.politeness import apply_politeness, budget_per_host
 from brink_spark.operators.redirects import collapse_redirect_chains
-from brink_spark.operators.seen import BloomSeenSet, split_seen
+from brink_spark.operators.seen import BloomSeenSet, mark_seen
 from brink_spark.queries.iterate import cut as _cut
 from brink_spark.storage import CrawlStore, Manifest
 
@@ -136,9 +136,17 @@ class CrawlEngine:
             )
         self.robots = robots
         self.allowed_keys = allowed_domain_keys(config)
+        # asNondeterministic: the wave plan filters on url_norm (a field of
+        # this UDF's output struct); Catalyst pushes that filter below the
+        # projection and re-evaluates the UDF on both sides (guide §4.4's
+        # duplicated-BatchEvalPython shape — observed as two stacked
+        # ArrowEvalPython nodes per frontier scan). The marker forbids the
+        # copy, so each frontier row is normalized once. Results are
+        # unchanged: the function is pure; the marker only constrains the
+        # optimizer.
         self.norm_udf = make_normalize_udf(
             config.ignore_get_parameters, config.fuzzy_get_parameter_checks
-        )
+        ).asNondeterministic()
         # the approximate seen-prefilter ("bloom" attribute name kept for
         # the store table + adaptive-activation plumbing, which is shared):
         # Bloom (default) or cuckoo — the latter supports exact deletion
@@ -583,6 +591,20 @@ class CrawlEngine:
                 .agg(F.max("_ttaken").alias("_ttaken"))
             )
             self._template_taken = tmerged.localCheckpoint(eager=True)
+
+        # Per-run CONSTANT relations, materialized once: the robots rule
+        # table and the per-host budget table never change within a run,
+        # yet both are groupBy aggregations whose full agg→exchange→agg
+        # subtree was re-planned and re-executed inside EVERY wave's plan
+        # (and twice where the politeness union references them from both
+        # branches). One eager localCheckpoint each turns every later wave's
+        # occurrence into a broadcast of a concrete host-sized RDD — the
+        # same treatment _host_taken already gets. Size is O(#hosts) at any
+        # scale, the same bound the broadcast itself already assumes.
+        if self._rules is not None:
+            self._rules = self._rules.localCheckpoint(eager=True)
+        if self._budgets is not None:
+            self._budgets = self._budgets.localCheckpoint(eager=True)
 
         self._pages_pin = None
         if self.pages is not None:
@@ -1063,19 +1085,48 @@ class CrawlEngine:
                 bloom_shards = self.bloom.empty(spark)
         else:
             bloom_shards = None
-        fresh, cached = split_seen(
+        marked = mark_seen(
             edges_all, visited, self.bloom if use_bloom else None, bloom_shards
+        ).withColumn("_is_fresh", F.col("status").isNull())
+        # rank edges within their unit; first edge wins the fetch. The
+        # windows run on the MARKED table (before the split): a url_norm is
+        # never both fresh and cached within a wave (its seen verdict is a
+        # property of the key), and _is_fresh in the partition key makes
+        # that independence structural — so fresh rows get exactly the
+        # ranks the old fresh-only window produced, and the cached rows'
+        # window values are simply never read (cached_flagged projects
+        # literals). Computing them pre-checkpoint means ONE url_norm
+        # shuffle per wave instead of one per branch (the plan referenced
+        # the windowed fresh edges from four subtrees, two of which could
+        # not share an exchange because WindowGroupLimit specialized them).
+        we = Window.partitionBy("url_norm", "_is_fresh").orderBy(
+            "priority", "linked_from", "url"
         )
-
-        # rank edges within their unit; first edge wins the fetch
-        we = Window.partitionBy("url_norm").orderBy("priority", "linked_from", "url")
-        wu = Window.partitionBy("url_norm")
-        fresh = (
-            fresh.withColumn("_edge_rank", F.row_number().over(we))
+        wu = Window.partitionBy("url_norm", "_is_fresh")
+        marked = (
+            marked.withColumn("_edge_rank", F.row_number().over(we))
             .withColumn("unit_priority", F.min("priority").over(wu))
             # a page's depth is the MIN over its discovering edges (same
             # window — no extra shuffle)
             .withColumn("unit_depth", F.min("depth").over(wu))
+        )
+        # One wave-sized materialization of the normalized, seen-tagged,
+        # unit-ranked edges. The wave plan fans out from this point into
+        # FIVE subtrees (units→politeness candidates / politeness rejected
+        # / the flags-join left side / cached / traversal), and Spark
+        # physical plans are trees: without the cut every branch re-ran the
+        # frontier scan, the normalize UDF, the visited join and the unit
+        # windows (measured: 5 copies of the scan+ArrowEvalPython subtree
+        # in one wave's plan, 15 AQE jobs / 26 stages per wave on a
+        # ~400-row frontier — the driver-side fixed cost that dominated the
+        # crawl bench). After the cut each branch reads a tiny in-memory
+        # RDD leaf. The checkpoint is wave-scoped scratch (the same bytes
+        # the wavestage write pushes to parquet), so memory stays bounded
+        # by one wave at any scale.
+        marked = marked.localCheckpoint(eager=True)
+        fresh = marked.filter(F.col("_is_fresh")).drop("status", "_is_fresh")
+        cached = marked.filter(~F.col("_is_fresh")).drop(
+            "_edge_rank", "unit_priority", "unit_depth", "_is_fresh"
         )
         units = with_robots_denied(fresh.filter(F.col("_edge_rank") == 1), self._rules)
         # template trap guard (max_pages_per_template > 0): units whose

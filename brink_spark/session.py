@@ -51,6 +51,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # Commit algorithm v2: task output moves to the destination at task
+        # commit instead of being renamed again file-by-file at job commit
+        # (a DRIVER-serial loop). The wave loop commits 5 small tables per
+        # wave, so the v1 job-commit rename tax is pure fixed cost; v2's
+        # weaker failure contract (a failed job can leave partial files) is
+        # already handled by the store's manifest protocol — a wave dir
+        # without _SUCCESS is never read and is recomputed on resume.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     )
     if master != "inherit":
         # In-process local masters: Python workers fork from
