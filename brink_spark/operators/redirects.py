@@ -63,16 +63,23 @@ def collapse_redirect_chains(
     ]
     base = pages_slim.filter(F.col("redirect_to").isNull()).drop("redirect_to")
 
-    # hop map over the redirect subset only: src url_norm -> normalized target
+    # hop map over the redirect subset only: src url_norm -> normalized
+    # target. The emptiness checks ride each eager checkpoint's own job as
+    # an Observation (the cut_with_stats pattern, queries/iterate.py) —
+    # the old per-hop isEmpty() was a separate tiny job per iteration.
+    from pyspark.sql import Observation
+
+    obs0 = Observation()
     hop_map = (
         pages_slim.filter(F.col("redirect_to").isNotNull())
         .select(
             F.col("url_norm").alias("hk"),
             norm_udf("redirect_to")["url_norm"].alias("tgt"),
         )
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)  # reused max_hops times below
     )
-    if hop_map.isEmpty():
+    if obs0.get["n"] == 0:
         return base
 
     # walk: cur starts one hop in; each iteration follows one more redirect.
@@ -85,12 +92,14 @@ def collapse_redirect_chains(
             hop_map, pending["cur"] == hop_map["hk"], "left"
         )
         done_parts.append(j.filter(F.col("hk").isNull()).select("src", "cur"))
+        obs = Observation()
         pending = (
             j.filter(F.col("hk").isNotNull())
             .select("src", F.col("tgt").alias("cur"))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)  # cut the growing self-join lineage
         )
-        if pending.isEmpty():
+        if obs.get["n"] == 0:
             break
     else:
         # rows that would need hop max_hops+1 — Go refuses the 10th redirect
