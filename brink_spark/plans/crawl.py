@@ -979,6 +979,272 @@ class CrawlEngine:
             )
         )
 
+    # ------------------------------------------------------------------
+    # Per-wave constant expressions, built ONCE per engine. Column objects
+    # are immutable expression trees, but constructing one is a py4j
+    # round-trip per operator (~0.2-0.5 ms each on this host); _run_wave
+    # used to rebuild the same ~200 operators every wave — several hundred
+    # driver-blocking milliseconds per wave of pure expression plumbing.
+    # Everything here is independent of the wave number and of any
+    # DataFrame instance (unbound F.col references only); the few
+    # wave-varying literals (F.lit(wave)) stay inline at the call sites.
+    _wx = None
+
+    def _wave_exprs(self):
+        if self._wx is not None:
+            return self._wx
+        from types import SimpleNamespace
+
+        cfg = self.config
+        norm_cols = [
+            "linked_from",
+            "url",
+            "priority",
+            "depth",
+            F.col("_p.url_norm").alias("url_norm"),
+            F.col("_p.scheme").alias("scheme"),
+            F.col("_p.host").alias("host"),
+            F.col("_p.path").alias("path"),
+            F.col("_p.base_scheme").alias("base_scheme"),
+            F.col("_p.base_host").alias("base_host"),
+        ]
+        we = Window.partitionBy("url_norm", "_is_fresh").orderBy(
+            "priority", "linked_from", "url"
+        )
+        wu = Window.partitionBy("url_norm", "_is_fresh")
+        fresh1 = (F.col("edge_kind") == "fresh") & (F.col("_edge_rank") == 1)
+        fetchable = fresh1 & F.col("eligible")
+        flag_cols = [
+            "linked_from",
+            "url",
+            "priority",
+            "depth",
+            "url_norm",
+            "scheme",
+            "host",
+            "path",
+            "base_scheme",
+            "base_host",
+        ]
+        fresh_flagged_cols = flag_cols + [
+            "_edge_rank",
+            "unit_priority",
+            "unit_depth",
+            F.coalesce("_robots_denied", F.lit(False)).alias("robots_denied"),
+            F.coalesce("_eligible", F.lit(False)).alias("eligible"),
+            F.coalesce("_host_capped", F.lit(False)).alias("host_capped"),
+            F.coalesce("_template_capped", F.lit(False)).alias("template_capped"),
+            F.lit("fresh").alias("edge_kind"),
+            F.lit(None).cast("int").alias("seen_status"),
+        ]
+        cached_flagged_cols = flag_cols + [
+            F.lit(0).alias("_edge_rank"),
+            F.col("priority").alias("unit_priority"),
+            F.col("depth").alias("unit_depth"),
+            F.lit(False).alias("robots_denied"),
+            F.lit(False).alias("eligible"),
+            F.lit(False).alias("host_capped"),
+            F.lit(False).alias("template_capped"),
+            F.lit("seen").alias("edge_kind"),
+            F.col("status").cast("int").alias("seen_status"),
+        ]
+        outcome_expr = F.when(
+            fetchable,
+            F.when(F.col("page_status").isNull(), "miss")
+            .when(
+                ~domain_allowed(F.col("scheme"), F.col("host"), self.allowed_keys),
+                "not_allowed",
+            )
+            .when(
+                F.col("content_length") > cfg.effective_max_content_length,
+                "too_large",
+            )
+            .otherwise("ok"),
+        )
+        stage_cols = flag_cols + [
+            "_edge_rank",
+            "unit_priority",
+            "unit_depth",
+            "robots_denied",
+            "eligible",
+            "host_capped",
+            "template_capped",
+            "edge_kind",
+            "seen_status",
+            "outcome",
+            F.col("page_status").cast("int").alias("page_status"),
+            "spans",
+            "partition_id",
+        ]
+        stage_aggs = [
+            F.count(F.lit(1)).alias("n_edges"),
+            F.count_if(F.col("edge_kind") == "seen").alias("n_cached"),
+            F.count_if(fresh1).alias("n_units"),
+            F.count_if(fresh1 & F.col("robots_denied")).alias("n_robots_denied"),
+            F.count_if(fresh1 & F.col("eligible")).alias("n_eligible"),
+            F.count_if(fresh1 & F.col("host_capped")).alias("n_host_capped"),
+            F.count_if(fresh1 & F.col("template_capped")).alias(
+                "n_template_capped"
+            ),
+            F.count_if(F.col("outcome") == "miss").alias("n_miss"),
+            F.count_if(F.col("outcome") == "not_allowed").alias("n_not_allowed"),
+            F.count_if(F.col("outcome") == "too_large").alias("n_too_large"),
+            F.count_if(F.col("outcome") == "ok").alias("n_ok"),
+        ] + (
+            [F.count_if(F.col("outcome") == "not_modified").alias("n_not_modified")]
+            if cfg.refetch_skip_unchanged
+            else []
+        )
+        edge_log_filter = fresh1 & (F.col("robots_denied") | ~F.col("eligible"))
+        edge_log_outcome = (
+            F.when(F.col("robots_denied"), "robots_denied")
+            .when(F.col("template_capped"), "template_capped")
+            .when(F.col("host_capped"), "host_capped")
+            .otherwise("deferred")
+        )
+        trav_filter = (
+            (F.col("page_status") == 200)
+            & ~path_forbidden_expr(F.col("path"), cfg.forbidden_paths)
+            & F.col("base_scheme").isNotNull()
+        )
+        link_explode_cols = [
+            F.col("url").alias("_parent_url"),
+            F.col("url_norm").alias("_parent_norm"),
+            "unit_priority",
+            "unit_depth",
+            "base_scheme",
+            "base_host",
+            F.explode(
+                F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("link"))
+            ).alias("_s"),
+        ]
+        link_raw_cols = [
+            "_parent_url",
+            "_parent_norm",
+            "unit_priority",
+            "unit_depth",
+            "base_scheme",
+            "base_host",
+            F.coalesce(F.col("_s.text"), F.lit("")).alias("_raw"),
+        ]
+        c5_filter = (F.col("_raw") != "javascript:;") & ~F.col("_raw").startswith(
+            "#"
+        )
+        href_expr = F.expr("trim(BOTH ' ' FROM _raw)")
+        resolved_expr = (
+            F.when(
+                F.col("_href").startswith("//"),
+                F.concat(F.col("base_scheme"), F.lit("://"), F.col("_href")),
+            )
+            .when(
+                F.col("_href").startswith("/"),
+                F.concat(
+                    F.col("base_scheme"),
+                    F.lit("://"),
+                    F.col("base_host"),
+                    F.col("_href"),
+                ),
+            )
+            .otherwise(F.col("_href"))
+        )
+        new_edge_cols = [
+            F.col("_parent_url").alias("linked_from"),
+            F.col("_resolved").alias("url"),
+            F.col("unit_priority").alias("priority"),
+            (F.col("unit_depth") + F.lit(1)).alias("depth"),
+        ]
+        deferred_filter = (
+            (F.col("edge_kind") == "fresh")
+            & ~F.col("eligible")
+            & ~F.col("robots_denied")
+            & ~F.col("host_capped")
+            & ~F.col("template_capped")
+        )
+        depth_capped_expr = (
+            (F.lit(cfg.max_depth) > 0) & (F.col("depth") > cfg.max_depth)
+            if cfg.max_depth > 0
+            else F.lit(False)
+        )
+        next_aggs = [
+            F.count_if(~F.col("_depth_capped")).alias("n_next"),
+            F.count_if(~F.col("deferred") & ~F.col("_depth_capped")).alias(
+                "n_new_links"
+            ),
+            F.count_if(F.col("_depth_capped")).alias("n_depth_capped"),
+        ]
+        res_first_tail = [
+            "linked_from",
+            "url_norm",
+            F.col("page_status").alias("status"),
+            F.lit(False).alias("cached"),
+            F.lit("fetched").alias("row_kind"),
+            "spans",
+        ]
+        res_others_tail = [
+            "linked_from",
+            "url_norm",
+            F.col("page_status").alias("status"),
+            F.lit(True).alias("cached"),
+            F.lit("dup_edge").alias("row_kind"),
+            F.lit(None).cast(SPANS_TYPE).alias("spans"),
+        ]
+        res_seen_tail = [
+            "linked_from",
+            "url_norm",
+            F.col("seen_status").alias("status"),
+            F.lit(True).alias("cached"),
+            F.lit("seen").alias("row_kind"),
+            F.lit(None).cast(SPANS_TYPE).alias("spans"),
+        ]
+        self._wx = SimpleNamespace(
+            norm_cols=norm_cols,
+            outcome_ok=F.col("outcome") == "ok",
+            okish_filter=F.col("outcome").isin("ok", "not_modified"),
+            fresh_gt1_filter=(F.col("edge_kind") == "fresh")
+            & (F.col("_edge_rank") > 1),
+            seen_filter=F.col("edge_kind") == "seen",
+            res_first_tail=res_first_tail,
+            res_others_tail=res_others_tail,
+            res_seen_tail=res_seen_tail,
+            urlnorm_notnull=F.col("url_norm").isNotNull(),
+            status_isnull=F.col("status").isNull(),
+            is_fresh=F.col("_is_fresh"),
+            edge_rank_col=F.row_number().over(we),
+            unit_priority_col=F.min("priority").over(wu),
+            unit_depth_col=F.min("depth").over(wu),
+            rank1=F.col("_edge_rank") == 1,
+            fresh1=fresh1,
+            fetchable=fetchable,
+            fk_expr=F.when(fetchable, F.col("url_norm")).otherwise(
+                F.concat(F.lit("\x00skip:"), F.col("url_norm"))
+            ),
+            fresh_flagged_cols=fresh_flagged_cols,
+            cached_flagged_cols=cached_flagged_cols,
+            outcome_expr=outcome_expr,
+            spans_expr=parse_spans_udf(
+                F.when(F.col("outcome") == "ok", F.col("body"))
+            ),
+            pid_expr=F.spark_partition_id(),
+            stage_cols=stage_cols,
+            stage_aggs=stage_aggs,
+            unit_prio_as_prio=F.col("unit_priority").alias("priority"),
+            edge_log_filter=edge_log_filter,
+            edge_log_outcome=edge_log_outcome,
+            outcome_notnull=F.col("outcome").isNotNull(),
+            trav_filter=trav_filter,
+            link_explode_cols=link_explode_cols,
+            link_raw_cols=link_raw_cols,
+            c5_filter=c5_filter,
+            href_expr=href_expr,
+            resolved_expr=resolved_expr,
+            c6_filter=F.col("_resolved") != "",
+            new_edge_cols=new_edge_cols,
+            deferred_filter=deferred_filter,
+            depth_capped_expr=depth_capped_expr,
+            next_aggs=next_aggs,
+        )
+        return self._wx
+
     @contextmanager
     def _phase(self, name: str):
         if os.environ.get("BRINK_TIMING"):
@@ -1039,6 +1305,7 @@ class CrawlEngine:
         (collect_metrics=True) costs an extra action.
         """
         spark, store, cfg = self.spark, self.store, self.config
+        wx = self._wave_exprs()
         frontier = self._reprioritize_frontier(
             wave, _with_depth(store.read(spark, "frontier", wave))
         )
@@ -1053,18 +1320,9 @@ class CrawlEngine:
             return None
 
         norm = frontier.withColumn("_p", self.norm_udf("url")).select(
-            "linked_from",
-            "url",
-            "priority",
-            "depth",
-            F.col("_p.url_norm").alias("url_norm"),
-            F.col("_p.scheme").alias("scheme"),
-            F.col("_p.host").alias("host"),
-            F.col("_p.path").alias("path"),
-            F.col("_p.base_scheme").alias("base_scheme"),
-            F.col("_p.base_host").alias("base_host"),
+            *wx.norm_cols
         )
-        edges_all = norm.filter(F.col("url_norm").isNotNull())
+        edges_all = norm.filter(wx.urlnorm_notnull)
 
         visited = store.read_visited(spark, manifest)
         # adaptive Bloom: the prefilter costs one Arrow cogroup pass and only
@@ -1087,7 +1345,7 @@ class CrawlEngine:
             bloom_shards = None
         marked = mark_seen(
             edges_all, visited, self.bloom if use_bloom else None, bloom_shards
-        ).withColumn("_is_fresh", F.col("status").isNull())
+        ).withColumn("_is_fresh", wx.status_isnull)
         # rank edges within their unit; first edge wins the fetch. The
         # windows run on the MARKED table (before the split): a url_norm is
         # never both fresh and cached within a wave (its seen verdict is a
@@ -1099,16 +1357,12 @@ class CrawlEngine:
         # shuffle per wave instead of one per branch (the plan referenced
         # the windowed fresh edges from four subtrees, two of which could
         # not share an exchange because WindowGroupLimit specialized them).
-        we = Window.partitionBy("url_norm", "_is_fresh").orderBy(
-            "priority", "linked_from", "url"
-        )
-        wu = Window.partitionBy("url_norm", "_is_fresh")
         marked = (
-            marked.withColumn("_edge_rank", F.row_number().over(we))
-            .withColumn("unit_priority", F.min("priority").over(wu))
+            marked.withColumn("_edge_rank", wx.edge_rank_col)
+            .withColumn("unit_priority", wx.unit_priority_col)
             # a page's depth is the MIN over its discovering edges (same
             # window — no extra shuffle)
-            .withColumn("unit_depth", F.min("depth").over(wu))
+            .withColumn("unit_depth", wx.unit_depth_col)
         )
         # One wave-sized materialization of the normalized, seen-tagged,
         # unit-ranked edges. The wave plan fans out from this point into
@@ -1124,11 +1378,11 @@ class CrawlEngine:
         # the wavestage write pushes to parquet), so memory stays bounded
         # by one wave at any scale.
         marked = marked.localCheckpoint(eager=True)
-        fresh = marked.filter(F.col("_is_fresh")).drop("status", "_is_fresh")
-        cached = marked.filter(~F.col("_is_fresh")).drop(
+        fresh = marked.filter(wx.is_fresh).drop("status", "_is_fresh")
+        cached = marked.filter(~wx.is_fresh).drop(
             "_edge_rank", "unit_priority", "unit_depth", "_is_fresh"
         )
-        units = with_robots_denied(fresh.filter(F.col("_edge_rank") == 1), self._rules)
+        units = with_robots_denied(fresh.filter(wx.rank1), self._rules)
         # template trap guard (max_pages_per_template > 0): units whose
         # URL template is already saturated drop before politeness — they
         # never consume a budget rank, so a lower-priority real page on
@@ -1191,49 +1445,11 @@ class CrawlEngine:
             "left",
         )
         fresh_flagged = fresh.join(unit_flags, "url_norm", "left").select(
-            "linked_from",
-            "url",
-            "priority",
-            "depth",
-            "url_norm",
-            "scheme",
-            "host",
-            "path",
-            "base_scheme",
-            "base_host",
-            "_edge_rank",
-            "unit_priority",
-            "unit_depth",
-            F.coalesce("_robots_denied", F.lit(False)).alias("robots_denied"),
-            F.coalesce("_eligible", F.lit(False)).alias("eligible"),
-            F.coalesce("_host_capped", F.lit(False)).alias("host_capped"),
-            F.coalesce("_template_capped", F.lit(False)).alias("template_capped"),
-            F.lit("fresh").alias("edge_kind"),
-            F.lit(None).cast("int").alias("seen_status"),
+            *wx.fresh_flagged_cols
         )
-        cached_flagged = cached.select(
-            "linked_from",
-            "url",
-            "priority",
-            "depth",
-            "url_norm",
-            "scheme",
-            "host",
-            "path",
-            "base_scheme",
-            "base_host",
-            F.lit(0).alias("_edge_rank"),
-            F.col("priority").alias("unit_priority"),
-            F.col("depth").alias("unit_depth"),
-            F.lit(False).alias("robots_denied"),
-            F.lit(False).alias("eligible"),
-            F.lit(False).alias("host_capped"),
-            F.lit(False).alias("template_capped"),
-            F.lit("seen").alias("edge_kind"),
-            F.col("status").cast("int").alias("seen_status"),
-        )
-        _fresh1 = (F.col("edge_kind") == "fresh") & (F.col("_edge_rank") == 1)
-        _fetchable = _fresh1 & F.col("eligible")
+        cached_flagged = cached.select(*wx.cached_flagged_cols)
+        _fresh1 = wx.fresh1
+        _fetchable = wx.fetchable
         combined = fresh_flagged.unionByName(cached_flagged)
 
         # --- fused fetch (A1/H4) + gates (C1/C2) + parse (D1), edge grain --
@@ -1273,12 +1489,7 @@ class CrawlEngine:
             # (and, when big, pre-shuffled + pinned) once per run — see
             # run()'s page-store setup
             pages_j = pages_slim
-            probe = combined.withColumn(
-                "_fk",
-                F.when(_fetchable, F.col("url_norm")).otherwise(
-                    F.concat(F.lit("\x00skip:"), F.col("url_norm"))
-                ),
-            )
+            probe = combined.withColumn("_fk", wx.fk_expr)
             if getattr(self, "_pages_hint", False):
                 # pinned regime: shuffle-hash with the FRONTIER as the
                 # build side — pages streams straight out of its
@@ -1300,24 +1511,7 @@ class CrawlEngine:
                 joined = joined.repartition(
                     n_parts, F.xxhash64("host", "url_norm")
                 )
-        joined = joined.withColumn(
-            "outcome",
-            F.when(
-                _fetchable,
-                F.when(F.col("page_status").isNull(), "miss")
-                .when(
-                    ~domain_allowed(
-                        F.col("scheme"), F.col("host"), self.allowed_keys
-                    ),
-                    "not_allowed",
-                )
-                .when(
-                    F.col("content_length") > cfg.effective_max_content_length,
-                    "too_large",
-                )
-                .otherwise("ok"),
-            ),
-        )
+        joined = joined.withColumn("outcome", wx.outcome_expr)
         if cfg.refetch_skip_unchanged:
             # HTTP-304-style fast path: an EXPIRED url refetched with an
             # unchanged body hash becomes outcome 'not_modified' BEFORE
@@ -1350,68 +1544,19 @@ class CrawlEngine:
         # (too_large, not_allowed, and the not_modified fast path would all
         # pay the full parse). With the when() on the body column the
         # filter runs natively and Python sees null for skipped rows.
-        joined = joined.withColumn(
-            "spans",
-            parse_spans_udf(F.when(F.col("outcome") == "ok", F.col("body"))),
-        ).withColumn("partition_id", F.spark_partition_id())
+        joined = joined.withColumn("spans", wx.spans_expr).withColumn(
+            "partition_id", wx.pid_expr
+        )
         cookie_cols = ["set_cookie"] if "set_cookie" in joined.columns else []
         hash_cols = ["content_hash"] if cfg.refetch_skip_unchanged else []
         obs_stage = Observation(f"w{wave}_stage")
         stage_out = joined.select(
-            "linked_from",
-            "url",
-            "priority",
-            "depth",
-            "url_norm",
-            "scheme",
-            "host",
-            "path",
-            "base_scheme",
-            "base_host",
-            "_edge_rank",
-            "unit_priority",
-            "unit_depth",
-            "robots_denied",
-            "eligible",
-            "host_capped",
-            "template_capped",
-            "edge_kind",
-            "seen_status",
-            "outcome",
-            F.col("page_status").cast("int").alias("page_status"),
-            "spans",
-            "partition_id",
-            *cookie_cols,
-            *hash_cols,
-        ).observe(
-            obs_stage,
-            F.count(F.lit(1)).alias("n_edges"),
-            F.count_if(F.col("edge_kind") == "seen").alias("n_cached"),
-            F.count_if(_fresh1).alias("n_units"),
-            F.count_if(_fresh1 & F.col("robots_denied")).alias("n_robots_denied"),
-            F.count_if(_fresh1 & F.col("eligible")).alias("n_eligible"),
-            F.count_if(_fresh1 & F.col("host_capped")).alias("n_host_capped"),
-            F.count_if(_fresh1 & F.col("template_capped")).alias(
-                "n_template_capped"
-            ),
-            F.count_if(F.col("outcome") == "miss").alias("n_miss"),
-            F.count_if(F.col("outcome") == "not_allowed").alias("n_not_allowed"),
-            F.count_if(F.col("outcome") == "too_large").alias("n_too_large"),
-            F.count_if(F.col("outcome") == "ok").alias("n_ok"),
-            *(
-                [
-                    F.count_if(F.col("outcome") == "not_modified").alias(
-                        "n_not_modified"
-                    )
-                ]
-                if cfg.refetch_skip_unchanged
-                else []
-            ),
-        )
+            *wx.stage_cols, *cookie_cols, *hash_cols
+        ).observe(obs_stage, *wx.stage_aggs)
         with self._phase("stage-fused"):
             store.write(stage_out, "wavestage", wave)
         edges = store.read(spark, "wavestage", wave)
-        fetchpage = edges.filter(F.col("outcome").isNotNull())
+        fetchpage = edges.filter(wx.outcome_notnull)
         ec = obs_stage.get
         m["n_cached"] = ec["n_cached"]
         m["n_units"] = ec["n_units"]
@@ -1515,10 +1660,11 @@ class CrawlEngine:
                 self._check_auth_suppression(wave + 1)
 
         # --- flat projections ---------------------------------------------
+        wave_lit = F.lit(wave).alias("wave")
         log_cols = lambda df, outcome_col, pid_col: df.select(  # noqa: E731
-            F.lit(wave).alias("wave"),
+            wave_lit,
             "url_norm",
-            F.col("unit_priority").alias("priority"),
+            wx.unit_prio_as_prio,
             "host",
             outcome_col.alias("outcome"),
             pid_col.alias("partition_id"),
@@ -1526,59 +1672,34 @@ class CrawlEngine:
         # one projection of edges covers both non-fetch outcomes (the r1
         # triple-union paid an extra scan + union for the same rows)
         edge_log = log_cols(
-            edges.filter(_fresh1 & (F.col("robots_denied") | ~F.col("eligible"))),
-            F.when(F.col("robots_denied"), "robots_denied")
-            .when(F.col("template_capped"), "template_capped")
-            .when(F.col("host_capped"), "host_capped")
-            .otherwise("deferred"),
+            edges.filter(wx.edge_log_filter),
+            wx.edge_log_outcome,
             F.lit(-1),
         )
         fetchlog_out = log_cols(
             fetchpage, F.col("outcome"), F.col("partition_id")
         ).unionByName(edge_log)
-        ok = fetchpage.filter(F.col("outcome") == "ok")
+        ok = fetchpage.filter(wx.outcome_ok)
         # dup-edge handler rows take their status from the unit's fetched
         # row; in refetch-skip mode a not_modified fetch also anchors them
         okish = (
-            fetchpage.filter(F.col("outcome").isin("ok", "not_modified"))
+            fetchpage.filter(wx.okish_filter)
             if cfg.refetch_skip_unchanged
             else ok
         )
 
         # --- handler rows (A4) ----------------------------------------------
-        results_first = ok.select(
-            F.lit(wave).alias("wave"),
-            "linked_from",
-            "url_norm",
-            F.col("page_status").alias("status"),
-            F.lit(False).alias("cached"),
-            F.lit("fetched").alias("row_kind"),
-            "spans",
-        )
+        results_first = ok.select(wave_lit, *wx.res_first_tail)
         results_others = (
-            edges.filter((F.col("edge_kind") == "fresh") & (F.col("_edge_rank") > 1))
+            edges.filter(wx.fresh_gt1_filter)
             # rank>1 rows carry null fetch columns; take page_status from
             # the unit's rank-1 (fetched) row via the join
             .select("linked_from", "url_norm")
             .join(okish.select("url_norm", "page_status"), "url_norm", "inner")
-            .select(
-                F.lit(wave).alias("wave"),
-                "linked_from",
-                "url_norm",
-                F.col("page_status").alias("status"),
-                F.lit(True).alias("cached"),
-                F.lit("dup_edge").alias("row_kind"),
-                F.lit(None).cast(SPANS_TYPE).alias("spans"),
-            )
+            .select(wave_lit, *wx.res_others_tail)
         )
-        results_seen = edges.filter(F.col("edge_kind") == "seen").select(
-            F.lit(wave).alias("wave"),
-            "linked_from",
-            "url_norm",
-            F.col("seen_status").alias("status"),
-            F.lit(True).alias("cached"),
-            F.lit("seen").alias("row_kind"),
-            F.lit(None).cast(SPANS_TYPE).alias("spans"),
+        results_seen = edges.filter(wx.seen_filter).select(
+            wave_lit, *wx.res_seen_tail
         )
         results_out = results_first.unionByName(results_others).unionByName(results_seen)
         if cfg.refetch_skip_unchanged:
@@ -1599,73 +1720,22 @@ class CrawlEngine:
             results_out = results_out.unionByName(results_notmod)
 
         # --- traversal -> next frontier (D1/D2/C3/C4/C5/C6) ------------------
-        trav = ok.filter(
-            (F.col("page_status") == 200)
-            & ~path_forbidden_expr(F.col("path"), cfg.forbidden_paths)
-            & F.col("base_scheme").isNotNull()
-        )
+        trav = ok.filter(wx.trav_filter)
         links = (
-            trav.select(
-                F.col("url").alias("_parent_url"),
-                F.col("url_norm").alias("_parent_norm"),
-                "unit_priority",
-                "unit_depth",
-                "base_scheme",
-                "base_host",
-                F.explode(
-                    F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("link"))
-                ).alias("_s"),
-            )
-            .select(
-                "_parent_url",
-                "_parent_norm",
-                "unit_priority",
-                "unit_depth",
-                "base_scheme",
-                "base_host",
-                F.coalesce(F.col("_s.text"), F.lit("")).alias("_raw"),
-            )
+            trav.select(*wx.link_explode_cols)
+            .select(*wx.link_raw_cols)
             # C5 on the RAW href, then trim ASCII spaces (urls.go:96-101)
-            .filter(
-                (F.col("_raw") != "javascript:;") & ~F.col("_raw").startswith("#")
-            )
-            .withColumn("_href", F.expr("trim(BOTH ' ' FROM _raw)"))
-            .withColumn(
-                "_resolved",
-                F.when(
-                    F.col("_href").startswith("//"),
-                    F.concat(F.col("base_scheme"), F.lit("://"), F.col("_href")),
-                )
-                .when(
-                    F.col("_href").startswith("/"),
-                    F.concat(
-                        F.col("base_scheme"),
-                        F.lit("://"),
-                        F.col("base_host"),
-                        F.col("_href"),
-                    ),
-                )
-                .otherwise(F.col("_href")),
-            )
-            .filter(F.col("_resolved") != "")  # C6
+            .filter(wx.c5_filter)
+            .withColumn("_href", wx.href_expr)
+            .withColumn("_resolved", wx.resolved_expr)
+            .filter(wx.c6_filter)  # C6
         )
-        new_edges = links.select(
-            F.col("_parent_url").alias("linked_from"),
-            F.col("_resolved").alias("url"),
-            F.col("unit_priority").alias("priority"),
-            # a child sits one link-hop beyond the unit that discovered it
-            (F.col("unit_depth") + F.lit(1)).alias("depth"),
+        new_edges = links.select(*wx.new_edge_cols)
+        # host_capped / template_capped units DROP (fetchlog records them);
+        # deferring them would pin an infinite auto-generated site forever
+        deferred_edges = edges.filter(wx.deferred_filter).select(
+            "linked_from", "url", "priority", "depth"
         )
-        deferred_edges = edges.filter(
-            (F.col("edge_kind") == "fresh")
-            & ~F.col("eligible")
-            & ~F.col("robots_denied")
-            # host_capped / template_capped units DROP (fetchlog records
-            # them); deferring them would pin an infinite auto-generated
-            # site forever
-            & ~F.col("host_capped")
-            & ~F.col("template_capped")
-        ).select("linked_from", "url", "priority", "depth")
         m["n_miss_retry"] = 0
         if cfg.retry_misses > 0:
             # transport-miss retry: fold this wave's per-url miss counts,
@@ -1705,23 +1775,11 @@ class CrawlEngine:
         # budget are counted then dropped BEFORE the frontier write. The
         # filter sits above the CollectMetrics node (Catalyst does not push
         # predicates through it), so n_depth_capped counts the dropped rows.
-        _depth_capped = (
-            (F.lit(cfg.max_depth) > 0) & (F.col("depth") > cfg.max_depth)
-            if cfg.max_depth > 0
-            else F.lit(False)
-        )
         frontier_next = (
             deferred_edges.withColumn("deferred", F.lit(True))
             .unionByName(new_edges.withColumn("deferred", F.lit(False)))
-            .withColumn("_depth_capped", _depth_capped)
-            .observe(
-                obs_next,
-                F.count_if(~F.col("_depth_capped")).alias("n_next"),
-                F.count_if(~F.col("deferred") & ~F.col("_depth_capped")).alias(
-                    "n_new_links"
-                ),
-                F.count_if(F.col("_depth_capped")).alias("n_depth_capped"),
-            )
+            .withColumn("_depth_capped", wx.depth_capped_expr)
+            .observe(obs_next, *wx.next_aggs)
             .filter(~F.col("_depth_capped"))
             .drop("_depth_capped")
         )
