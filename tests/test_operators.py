@@ -87,3 +87,47 @@ def test_politeness_two_phase_equals_single_window(spark):
     # hot host admitted exactly its budget
     n_hot = sum(1 for u, e in got_set if e and "hot.example" in u)
     assert n_hot == 10
+
+
+def test_mark_seen_single_table_equals_split(spark):
+    """mark_seen is the wave loop's single-table form of split_seen: the
+    status column must partition the input exactly into the split's
+    (fresh, cached) halves, with and without the Bloom prefilter, and
+    must carry the stored status for every cached row."""
+    from brink_spark.operators.seen import mark_seen
+
+    edges = spark.range(300).select(
+        F.concat(F.lit("https://m.example/p"), F.col("id")).alias("url_norm"),
+        F.lit("parent").alias("linked_from"),
+    )
+    visited = spark.range(100, 200).select(
+        F.concat(F.lit("https://m.example/p"), F.col("id")).alias("url_norm"),
+        (F.lit(200) + (F.col("id") % 2)).cast("int").alias("status"),
+        F.lit(0).alias("wave"),
+    )
+    bloom = BloomSeenSet(4, 1 << 16, 5)
+    shards = bloom.updated(visited, bloom.empty(spark)).cache()
+    want_status = {
+        r["url_norm"]: r["status"] for r in visited.collect()
+    }
+
+    for b, s in ((None, None), (bloom, shards)):
+        marked = mark_seen(edges, visited, b, s).collect()
+        # every input edge appears exactly once
+        assert sorted(r["url_norm"] for r in marked) == sorted(
+            r["url_norm"] for r in edges.collect()
+        )
+        fresh = {r["url_norm"] for r in marked if r["status"] is None}
+        cached = {r["url_norm"]: r["status"] for r in marked if r["status"] is not None}
+        assert cached == want_status
+        assert fresh.isdisjoint(cached)
+        f_df, c_df = split_seen(edges, visited, b, s)
+        assert fresh == {r["url_norm"] for r in f_df.collect()}
+        assert cached == {
+            r["url_norm"]: r["status"] for r in c_df.collect()
+        }
+
+    # no visited set at all: everything fresh, status column present+null
+    marked0 = mark_seen(edges, None).collect()
+    assert all(r["status"] is None for r in marked0)
+    assert len(marked0) == 300
